@@ -1,0 +1,226 @@
+package graft.applyops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dedup.LastWriterWins
+import graft.model.{SchemaDriftException, TableConfig}
+import graft.table.{SchemaEvolution, SnapshotTable}
+
+/** Target-table apply specification: the authoritative payload schema (the
+  * analog of the reference's schemawatch snapshot — reference:
+  * internal/target/schemawatch/coldata.go:54-75), the primary key, and the
+  * per-table apply configuration.
+  *
+  * @param allowEvolution when true, unknown payload columns evolve the schema
+  *                       (north-star behavior); when false they are a drift
+  *                       error exactly like the reference
+  *                       (apply.go:341-355)
+  */
+final case class TableSpec(
+    payloadSchema: StructType,
+    pkCols: Seq[String],
+    config: TableConfig = TableConfig(),
+    allowEvolution: Boolean = true
+)
+
+/** Turns a window of raw mutations
+  * `(key, data, nanos, logical, src_file)` into an LWW-deduplicated,
+  * drift-checked, transformed merge batch carrying the snapshot meta columns
+  * `(__hlc_nanos, __hlc_logical, __deleted)`.
+  *
+  * Reimplements the reference's apply pipeline
+  * (reference: internal/target/apply/apply.go:148-191, 215-224, 285-371)
+  * declaratively: one small aggregate pass computes the batch's key arities,
+  * payload field set and PK-completeness (the drift truth table), the driver
+  * decides error / evolve / absorb, and the row transform itself is pure
+  * Catalyst (`from_json` with an explicit schema, renames, expression
+  * columns, extras map, deadline filter, salted LWW dedup). No UDFs; JSON
+  * numerics are decoded with explicit types, never inferred doubles.
+  */
+object ApplyPlanner {
+
+  final case class PlanResult(
+      batch: DataFrame,
+      evolvedSchema: StructType,
+      /** distinct payload fields observed (diagnostics / lineage) */
+      observedFields: Seq[String]
+  )
+
+  /** payload field name that feeds target column `c` */
+  private def srcName(spec: TableSpec, c: String): String =
+    spec.config.sourceNames.getOrElse(c, c)
+
+  def plan(
+      spark: SparkSession,
+      spec: TableSpec,
+      window: DataFrame,
+      saltBuckets: Int = 64,
+      now: Option[java.sql.Timestamp] = None
+  ): PlanResult = {
+    val cfg = spec.config
+    val rawMap = from_json(col("data"), MapType(StringType, StringType))
+    val keyArr = from_json(col("key"), ArrayType(StringType))
+    val pkSrcNames = spec.pkCols.map(srcName(spec, _))
+
+    // ---- single summary pass: drift truth table -------------------------
+    val missingPkCond = col("data").isNotNull &&
+      pkSrcNames
+        .map(n => element_at(rawMap, n).isNull)
+        .reduce(_ || _)
+    val summaryRow = window
+      .agg(
+        collect_set(size(keyArr)).as("arities"),
+        array_distinct(flatten(collect_set(map_keys(rawMap)))).as("fields"),
+        max(when(missingPkCond, 1).otherwise(0)).as("missing_pk"),
+        count(lit(1)).as("n")
+      )
+      .collect()(0)
+    val arities = summaryRow.getSeq[Int](0)
+    val fields = summaryRow.getSeq[String](1)
+    val missingPk = !summaryRow.isNullAt(2) && summaryRow.getInt(2) == 1
+    val expect = spec.pkCols.size
+    arities.find(_ != expect).foreach { got =>
+      throw new SchemaDriftException(
+        s"the mutation key has $got values, expected $expect"
+      )
+    }
+    if (missingPk) {
+      throw new SchemaDriftException(
+        s"missing primary-key column in payload; expected all of " +
+          pkSrcNames.mkString("[", ", ", "]")
+      )
+    }
+
+    val knownFields: Set[String] =
+      spec.payloadSchema.fieldNames.map(srcName(spec, _)).toSet ++ cfg.ignore
+    val unknown = fields.filterNot(knownFields.contains).sorted
+
+    // ---- unknown columns: drift error / extras absorb / evolve ----------
+    var evolved = spec.payloadSchema
+    if (unknown.nonEmpty && cfg.extras.isEmpty) {
+      if (!spec.allowEvolution) {
+        throw new SchemaDriftException(
+          s"schema drift detected: unexpected columns ${unknown.mkString("[", ", ", "]")}"
+        )
+      }
+      // evolve: infer the new columns' types from the payloads themselves
+      // (extra pass over just the data strings; drift windows are rare)
+      import spark.implicits._
+      val inferred = spark.read
+        .json(window.select(col("data")).na.drop().as[String])
+        .schema
+      val newFields = unknown.map { n =>
+        val t = inferred.fields
+          .find(_.name == n)
+          .map(_.dataType)
+          .getOrElse(StringType)
+        StructField(n, t, nullable = true)
+      }
+      evolved = SchemaEvolution.merge(
+        spec.payloadSchema,
+        StructType(spec.payloadSchema.fields ++ newFields)
+      )
+    }
+
+    // ---- typed payload parse (explicit schema; source-name aware) -------
+    // parse schema uses SOURCE field names, then aliases to target names
+    val parseSchema = StructType(evolved.fields.map { f =>
+      StructField(srcName(spec, f.name), f.dataType, nullable = true)
+    })
+    val payload = from_json(col("data"), parseSchema)
+
+    val isDelete = col("data").isNull
+    def pkFromKey(i: Int, f: StructField): Column =
+      element_at(keyArr, i + 1).cast(f.dataType)
+
+    val payloadCols: Seq[Column] = evolved.fields.toIndexedSeq.map { f =>
+      val fromData = payload.getField(srcName(spec, f.name))
+      if (spec.pkCols.contains(f.name)) {
+        val i = spec.pkCols.indexOf(f.name)
+        // deletes carry no row image: PK comes positionally from the key
+        when(isDelete, pkFromKey(i, f)).otherwise(fromData).as(f.name)
+      } else fromData.as(f.name)
+    }
+
+    val extrasCols: Seq[Column] = cfg.extras.toSeq.map { name =>
+      val dropSet = knownFields ++ cfg.ignore
+      map_filter(rawMap, (k, _) => !k.isin(dropSet.toSeq.map(lit): _*))
+        .as(name)
+    }
+
+    var out = window.select(
+      payloadCols ++ extrasCols ++ Seq(
+        col("nanos").as(SnapshotTable.NANOS),
+        col("logical").as(SnapshotTable.LOGICAL),
+        isDelete.as(SnapshotTable.DELETED)
+      ): _*
+    )
+
+    // ---- expression columns ($0 substitution; PK rewriting included) ----
+    cfg.exprs.foreach { case (name, template) =>
+      val e = template.replace("$0", s"`$name`")
+      out = out.withColumn(name, expr(e))
+    }
+
+    // ---- deadline filter: stale rows silently dropped (deletes exempt) --
+    cfg.deadlines.foreach { case (name, interval) =>
+      val nowCol =
+        now.map(ts => lit(ts)).getOrElse(current_timestamp())
+      out = out.filter(
+        col(SnapshotTable.DELETED) ||
+          col(name) > (nowCol - expr(s"INTERVAL $interval"))
+      )
+    }
+
+    // ---- salted last-writer-wins dedup per key --------------------------
+    val deduped = LastWriterWins.dedupSalted(
+      out,
+      spec.pkCols,
+      Seq(SnapshotTable.NANOS, SnapshotTable.LOGICAL),
+      saltBuckets
+    )
+
+    val finalSchema =
+      if (cfg.extras.isEmpty) evolved
+      else
+        StructType(
+          evolved.fields :+ StructField(
+            cfg.extras.get,
+            MapType(StringType, StringType),
+            nullable = true
+          )
+        )
+    PlanResult(deduped, finalSchema, fields)
+  }
+
+  /** Compare-and-set gate against the current table rows: keep an incoming
+    * row iff there is no current row for its key, or its CAS tuple is
+    * strictly greater than the current row's. Deletes pass unconditionally
+    * (the reference's delete path has no CAS — queries/delete.tmpl).
+    * Mirrors queries/conditional.tmpl:48-75.
+    */
+  def casFilter(
+      batch: DataFrame,
+      current: DataFrame,
+      pkCols: Seq[String],
+      casColumns: Seq[String]
+  ): DataFrame = {
+    if (casColumns.isEmpty) return batch
+    val curProj = current.select(
+      (pkCols.map(col) ++
+        casColumns.map(c => col(c).as(s"__cur_$c")) :+
+        lit(true).as("__cur_exists")): _*
+    )
+    val joined = batch.join(curProj, pkCols, "left")
+    val proposed = struct(casColumns.map(col): _*)
+    val curTuple = struct(casColumns.map(c => col(s"__cur_$c")): _*)
+    joined
+      .filter(
+        col(SnapshotTable.DELETED) ||
+          col("__cur_exists").isNull ||
+          proposed > curTuple
+      )
+      .drop((casColumns.map(c => s"__cur_$c") :+ "__cur_exists"): _*)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.loop
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.applyops.{ApplyPlanner, TableSpec}
+import graft.feed.Changefeed
+import graft.model.Hlc
+import graft.stage.StagedStore
+import graft.table.SnapshotTable
+
+/** The logical-replication loop: one Structured Streaming query that tails a
+  * changefeed directory and applies it to a [[SnapshotTable]].
+  *
+  * This is the Spark re-expression of the reference's per-schema loop
+  * (reference: internal/source/logical/loop.go, internal/source/cdc/
+  * resolver.go:347-465): the channel/goroutine machinery collapses into
+  * micro-batches, and `foreachBatch` supplies the transactional boundary the
+  * reference gets from `OnBegin`/`OnCommit`.
+  *
+  * Per micro-batch, in staged (transactional) mode:
+  *   1. parse ndjson lines → mutations + resolved markers;
+  *   2. stage mutations durably (idempotent append — the staging state lives
+  *      in parquet, not the Spark state store, so it is unbounded and
+  *      restart-safe);
+  *   3. fold resolved markers into the fence: newFence = max resolved seen;
+  *      non-monotonic markers are silently ignored exactly like the
+  *      reference's `Mark` (resolver.go:154-157);
+  *   4. if the fence advanced: read staged mutations in
+  *      `(committedFence, newFence]` (partition-pruned), run the apply
+  *      planner (drift checks → transforms → salted LWW dedup), CAS-gate
+  *      against current rows if configured, and MERGE into the snapshot
+  *      with idempotence key = the fence — replays of the same window
+  *      no-op;
+  *   5. retire staging partitions below the fence (metadata-only drop).
+  *
+  * Immediate mode (`--immediate` in the reference,
+  * internal/source/logical/config.go:73-75) skips staging and fencing and
+  * merges each micro-batch directly with idempotence key = batch id.
+  *
+  * Exactly-once: Spark's checkpoint makes file delivery at-least-once per
+  * batch id; the staging append markers, the read-side dedup, and the
+  * commit-log idempotence keys make every step replay-safe; and because the
+  * table itself is an LWW register per key (max-HLC row wins, deletes are
+  * tombstones), replay from ANY checkpoint converges to the same final
+  * state.
+  */
+final class ReplayLoop(
+    spark: SparkSession,
+    val feedDir: String,
+    val table: SnapshotTable,
+    val stage: StagedStore,
+    val checkpointDir: String,
+    initialSpec: TableSpec,
+    val immediate: Boolean = false,
+    val saltBuckets: Int = 64,
+    val maxFilesPerTrigger: Int = 8
+) {
+
+  /** current spec: schema follows the table's committed schema */
+  private def currentSpec: TableSpec = {
+    table.payloadSchema() match {
+      case Some(s) =>
+        // the committed schema may include the extras column; keep declared
+        // config but adopt evolved column set/types
+        initialSpec.copy(payloadSchema =
+          org.apache.spark.sql.types.StructType(
+            s.fields.filterNot(f => initialSpec.config.extras.contains(f.name))
+          )
+        )
+      case None => initialSpec
+    }
+  }
+
+  def committedFence: Hlc =
+    table.log.latest().map(m => Hlc(m.resolvedNanos, m.resolvedLogical)).getOrElse(Hlc.Zero)
+
+  /** Process one micro-batch of raw ndjson lines. Public for batch-mode
+    * replay and tests; the streaming query calls this via foreachBatch.
+    */
+  def processBatch(lines: DataFrame, batchId: Long): Unit = {
+    val parsed = Changefeed.parseLines(lines)
+    val muts = parsed
+      .filter(!col(Changefeed.RESOLVED))
+      .select("key", "data", "nanos", "logical", "src_file")
+
+    if (immediate) {
+      val spec = currentSpec
+      val planned = ApplyPlanner.plan(spark, spec, muts, saltBuckets)
+      val gated = casGate(planned.batch, spec)
+      table.merge(
+        batch = gated,
+        pkCols = spec.pkCols,
+        idempotenceKey = s"batch-$batchId",
+        resolved = Hlc.Zero,
+        lineage = lineageOf(lines, batchId)
+      )
+      return
+    }
+
+    // cheap second scan: only lines containing a resolved marker are parsed
+    val resolvedRows = Changefeed
+      .parseLines(lines.filter(col("value").contains("\"resolved\"")))
+      .filter(col(Changefeed.RESOLVED))
+      .agg(max(struct(col("nanos"), col("logical"))).as("m"))
+      .collect()
+    val newResolved: Option[Hlc] =
+      if (resolvedRows.isEmpty || resolvedRows(0).isNullAt(0)) None
+      else {
+        val r = resolvedRows(0).getStruct(0)
+        Some(Hlc(r.getLong(0), r.getInt(1)))
+      }
+
+    stage.append(muts, batchId)
+
+    val fence = committedFence
+    newResolved.filter(_ > fence).foreach { target =>
+      val window = stage.selectWindow(fence, target)
+      val spec = currentSpec
+      val planned = ApplyPlanner.plan(spark, spec, window, saltBuckets)
+      val gated = casGate(planned.batch, spec)
+      table.merge(
+        batch = gated,
+        pkCols = spec.pkCols,
+        idempotenceKey = s"fence-${target.format}",
+        resolved = target,
+        lineage = lineageOf(lines, batchId)
+      )
+      stage.retire(target)
+    }
+  }
+
+  private def casGate(batch: DataFrame, spec: TableSpec): DataFrame =
+    if (spec.config.casColumns.isEmpty) batch
+    else
+      ApplyPlanner.casFilter(
+        batch,
+        table.readRaw().filter(!col(SnapshotTable.DELETED)),
+        spec.pkCols,
+        spec.config.casColumns
+      )
+
+  private def lineageOf(lines: DataFrame, batchId: Long): Seq[String] = {
+    // distinct source files of this batch — cheap: file-name column only
+    val files = lines
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(_.nonEmpty)
+      .sorted
+      .toSeq
+    s"batch=$batchId" +: files
+  }
+
+  /** Start the continuous streaming query. */
+  def start(trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(s"$feedDir/chunk=*")
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+
+  /** Catch-up run: process everything currently in the feed, then stop —
+    * the reference's backfill mode (loop.go:394-441) as Trigger.AvailableNow.
+    */
+  def runAvailableNow(): Unit = {
+    val q = start(Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,139 @@
+package graft.stage
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Hlc
+
+/** Durable staging buffer for mutations awaiting their resolved fence.
+  *
+  * Mirrors the reference's per-table staging tables
+  * (reference: internal/staging/stage/stage.go:49-53, 90-97): an append-only
+  * parquet dataset keyed `(nanos, logical, key)`, partitioned by an HLC time
+  * bucket so that
+  *   - fence-window reads prune partitions (the analog of the
+  *     `(nanos, logical) BETWEEN prev AND next` index scan, stage.go:171-195),
+  *   - retirement of applied mutations is a metadata-only partition drop
+  *     (the analog of the windowed DELETE loop, stage.go:390-436).
+  *
+  * Idempotence: appends may be replayed (micro-batch retry) and the feed
+  * itself may deliver duplicates (types.go:150-151); readers deduplicate on
+  * `(nanos, logical, key)` — duplicate deliveries are byte-identical by
+  * protocol, so any survivor is correct.
+  */
+final class StagedStore(
+    spark: SparkSession,
+    val root: String,
+    /** HLC nanos per staging partition bucket */
+    val bucketNanos: Long = 3600L * 1000000000L
+) {
+  import StagedStore._
+
+  private val dataDir = s"$root/data"
+  private val markerDir = Paths.get(root, "_batch_markers")
+  Files.createDirectories(markerDir)
+  Files.createDirectories(Paths.get(dataDir))
+
+  private def bucketOf(nanos: Long): Long = Math.floorDiv(nanos, bucketNanos)
+
+  /** Append a batch of parsed mutations
+    * `(key, data, nanos, logical, src_file)`. `batchId` makes replays cheap
+    * no-ops (a marker is written after a successful append); a crash between
+    * append and marker re-appends, which the read-side dedup absorbs.
+    */
+  def append(mutations: DataFrame, batchId: Long): Boolean = {
+    val marker = markerDir.resolve(s"$batchId")
+    if (Files.exists(marker)) return false
+    mutations
+      .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
+      .write
+      .mode("append")
+      .partitionBy(TS_BUCKET)
+      .parquet(dataDir)
+    Files.createFile(marker)
+    true
+  }
+
+  private def schema: StructType = StructType(
+    Seq(
+      StructField("key", StringType),
+      StructField("data", StringType),
+      StructField("nanos", LongType),
+      StructField("logical", IntegerType),
+      StructField("src_file", StringType)
+    )
+  )
+
+  private def readRaw(): DataFrame =
+    spark.read
+      .schema(schema.add(TS_BUCKET, LongType))
+      .parquet(dataDir)
+
+  /** All currently staged mutations (deduplicated). */
+  def readAll(): DataFrame =
+    readRaw().dropDuplicates("nanos", "logical", "key")
+
+  /** Staged mutations with `from < ts <= to` (HLC order), deduplicated.
+    * The `ts_bucket` range predicate prunes partitions; the `nanos` range is
+    * pushed to the parquet scan; the exact HLC tuple bounds are applied
+    * post-scan.
+    */
+  def selectWindow(from: Hlc, to: Hlc): DataFrame = {
+    val ts = struct(col("nanos"), col("logical"))
+    val lo = struct(lit(from.nanos), lit(from.logical))
+    val hi = struct(lit(to.nanos), lit(to.logical))
+    // filter BEFORE the dedup aggregate so partition pruning and parquet
+    // predicate pushdown see the raw scan
+    readRaw()
+      .filter(
+        col(TS_BUCKET).between(bucketOf(from.nanos), bucketOf(to.nanos)) &&
+          col("nanos").between(from.nanos, to.nanos) &&
+          ts > lo && ts <= hi
+      )
+      .dropDuplicates("nanos", "logical", "key")
+  }
+
+  /** Distinct commit timestamps present in staging within the window —
+    * the reference's TransactionTimes scan (stage.go:126-164).
+    */
+  def transactionTimes(from: Hlc, to: Hlc): DataFrame =
+    selectWindow(from, to).select("nanos", "logical").distinct()
+
+  /** Drop whole staging partitions whose every mutation is at or below the
+    * committed fence. Metadata-only (directory removal); partial buckets are
+    * kept — their applied rows are screened out by the fence on read.
+    * Returns the number of partitions dropped.
+    */
+  def retire(upTo: Hlc): Int = {
+    val fenceBucket = bucketOf(upTo.nanos) // drop buckets strictly below
+    val dir = Paths.get(dataDir)
+    if (!Files.exists(dir)) return 0
+    val it = Files.list(dir).iterator()
+    var dropped = 0
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      if (name.startsWith(s"$TS_BUCKET=")) {
+        val b = name.stripPrefix(s"$TS_BUCKET=").toLong
+        if (b < fenceBucket) {
+          deleteRecursively(p)
+          dropped += 1
+        }
+      }
+    }
+    dropped
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
+}
+
+object StagedStore {
+  val TS_BUCKET = "ts_bucket"
+}

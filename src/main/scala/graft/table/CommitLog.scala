@@ -1,0 +1,100 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** One committed snapshot version.
+  *
+  * @param version        monotonically increasing snapshot version
+  * @param idempotenceKey caller-supplied replay key — commits carrying a key
+  *                       already present in the log are skipped (the
+  *                       exactly-once contract: `(partition, resolvedTs)` /
+  *                       batch id, mirroring the reference's memo +
+  *                       applied-ledger pairing, internal/staging/memo/
+  *                       memo.go:67-78 and source/cdc/resolver.go:318-337)
+  * @param resolvedNanos/resolvedLogical the resolved fence this commit
+  *                       carried the table to (0 for immediate mode)
+  * @param schemaDdl      snapshot schema at this version (DDL string)
+  * @param buckets        bucket id -> relative data directory holding that
+  *                       bucket's rows; untouched buckets point at files of
+  *                       earlier versions (copy-on-write reuse)
+  * @param bucketSchemas  bucket id -> version whose schema its files carry
+  *                       (needed to read old files after type widening)
+  * @param metrics        applied-mutation counters (upserts/deletes/rows)
+  * @param partitionMetrics per-bucket applied row counts (lineage/metrics
+  *                       requirement of the north rule)
+  * @param lineage        input provenance: source files / batch ids folded in
+  */
+final case class CommitMeta(
+    version: Long,
+    idempotenceKey: String,
+    resolvedNanos: Long,
+    resolvedLogical: Int,
+    schemaDdl: String,
+    numBuckets: Int,
+    buckets: Map[String, String],
+    bucketSchemas: Map[String, String],
+    metrics: Map[String, Long],
+    partitionMetrics: Map[String, Long],
+    lineage: Seq[String],
+    committedAtMs: Long
+)
+
+/** File-based commit log with atomic-rename commits.
+  *
+  * Commit files are `commits/<version>%020d.json`, written to a temp name and
+  * atomically renamed; the reader's "current snapshot" is the highest
+  * version present. A crashed writer leaves only a temp file, which is
+  * ignored — this is the sandbox stand-in for an Iceberg/metastore catalog
+  * commit (single writer per table, as in the reference's lease-guarded
+  * loops, internal/staging/leases/leases.go).
+  */
+final class CommitLog(root: String) {
+  private val dir: Path = Paths.get(root, "commits")
+  Files.createDirectories(dir)
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def pathFor(version: Long): Path =
+    dir.resolve(f"$version%020d.json")
+
+  def listVersions(): Seq[Long] =
+    Files
+      .list(dir)
+      .iterator()
+      .asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .toSeq
+      .sorted
+
+  def latest(): Option[CommitMeta] =
+    listVersions().lastOption.map(read)
+
+  def read(version: Long): CommitMeta =
+    mapper.readValue(pathFor(version).toFile, classOf[CommitMeta])
+
+  def all(): Seq[CommitMeta] = listVersions().map(read)
+
+  /** True if some commit already carries this idempotence key. */
+  def contains(idempotenceKey: String): Boolean =
+    all().exists(_.idempotenceKey == idempotenceKey)
+
+  /** Atomically publish a commit. Returns false if the version already
+    * exists (lost race / replay) — callers re-check idempotence then.
+    */
+  def commit(meta: CommitMeta): Boolean = {
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, meta)
+    try {
+      Files.move(tmp, pathFor(meta.version), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+}

@@ -1,0 +1,288 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Hlc
+
+/** Exactly-once, schema-evolving lake table: parquet data files + a JSON
+  * commit log with idempotence keys, bucketed by primary-key hash for
+  * partial (copy-on-write) rewrites.
+  *
+  * This is the engine's stand-in for an Iceberg table (no Iceberg jars ship
+  * in this sandbox): the commit protocol — write data files, then atomically
+  * publish a manifest that references them — is the same shape Iceberg uses,
+  * and realizes the reference's staged-then-applied + memo semantics
+  * (reference: internal/source/logical/loop.go:136-169,
+  * serial_events.go:67-90, source/cdc/resolver.go:318-337).
+  *
+  * Scale design:
+  *   - Rows are hash-bucketed on the PK (`pmod(xxhash64(pk...), numBuckets)`).
+  *     A merge only reads and rewrites buckets that the batch touches;
+  *     untouched buckets are carried forward by manifest reference. At 100 TB
+  *     the work per commit is proportional to touched data, not table size.
+  *   - The merge itself is a hash aggregation (`max_by` over the HLC tuple),
+  *     not a window: partial aggregation combines map-side, so hot keys never
+  *     serialize through a single sort partition.
+  *   - Rows carry `(__hlc_nanos, __hlc_logical, __deleted)`; the merge keeps
+  *     the max-HLC version per key and deletes are tombstones. This makes the
+  *     table a last-writer-wins register per key: *any* replay or reordering
+  *     of batches converges to the same final state, which is what makes the
+  *     whole pipeline idempotent end-to-end (the exactly-once north rule).
+  *     Tombstones below the previous resolved fence are garbage-collected on
+  *     the next merge (no older event can arrive past the fence — the
+  *     analog of staged-mutation retirement, internal/staging/stage/
+  *     stage.go:390-436).
+  *   - Schema evolution: added columns and type widening evolve the snapshot
+  *     schema ([[SchemaEvolution]]); old data files are read with the schema
+  *     they were written with and cast up, so evolution never rewrites
+  *     untouched buckets.
+  *
+  * Single writer per table (the reference serializes appliers with leases;
+  * here one streaming query owns the table).
+  */
+final class SnapshotTable(
+    spark: SparkSession,
+    val root: String,
+    val numBuckets: Int = 64
+) {
+  import SnapshotTable._
+
+  val log = new CommitLog(root)
+
+  // ---------------------------------------------------------------- reading
+
+  /** Current visible rows: payload columns only, tombstones filtered out. */
+  def read(): DataFrame = {
+    val raw = readRaw()
+    raw
+      .filter(!col(DELETED))
+      .drop(META_COLS: _*)
+  }
+
+  /** Current rows incl. HLC/tombstone metadata, optionally restricted to a
+    * set of buckets (path-level pruning: only those buckets' files are read).
+    */
+  def readRaw(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    log.latest() match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          withMeta(new StructType())
+        )
+      case Some(meta) =>
+        val target = withMeta(StructType.fromDDL(meta.schemaDdl))
+        val chosen = meta.buckets.filter { case (b, _) =>
+          onlyBuckets.forall(_.contains(b.toInt))
+        }
+        if (chosen.isEmpty) {
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            target
+          )
+        } else {
+          // group bucket dirs by the schema their files carry; read each
+          // group with its own (exact) schema, then cast up to the current
+          // snapshot schema — old files are never rewritten on evolution
+          val groups = chosen.toSeq.groupBy { case (b, _) =>
+            meta.bucketSchemas.getOrElse(b, meta.schemaDdl)
+          }
+          groups
+            .map { case (ddl, entries) =>
+              val fileSchema = withMeta(StructType.fromDDL(ddl))
+              val paths = entries.map { case (_, rel) => s"$root/$rel" }
+              val df = spark.read.schema(fileSchema).parquet(paths: _*)
+              alignTo(df, target)
+            }
+            .reduce(_.unionByName(_))
+        }
+    }
+  }
+
+  def payloadSchema(): Option[StructType] =
+    log.latest().map(m => StructType.fromDDL(m.schemaDdl))
+
+  // ---------------------------------------------------------------- merging
+
+  /** Merge a change batch into the table and commit a new snapshot version.
+    *
+    * `batch` must carry the payload columns plus `__hlc_nanos`,
+    * `__hlc_logical`, `__deleted`, and should already be LWW-deduped per key
+    * (the merge is still correct otherwise — max_by keeps one max-HLC row —
+    * but pre-dedup keeps the shuffle small).
+    *
+    * Returns the committed version, or None when `idempotenceKey` was
+    * already committed (replay no-op).
+    */
+  def merge(
+      batch: DataFrame,
+      pkCols: Seq[String],
+      idempotenceKey: String,
+      resolved: Hlc = Hlc.Zero,
+      lineage: Seq[String] = Nil
+  ): Option[CommitMeta] = {
+    if (log.contains(idempotenceKey)) return None
+
+    val prev = log.latest()
+    val prevSchema = prev.map(m => StructType.fromDDL(m.schemaDdl))
+    val batchPayload = StructType(
+      batch.schema.fields.filterNot(f => META_COL_SET.contains(f.name))
+    )
+    val evolved = prevSchema match {
+      case None => batchPayload
+      case Some(s) => SchemaEvolution.merge(s, batchPayload)
+    }
+    val target = withMeta(evolved)
+
+    val bucketed = batch
+      .withColumn(BUCKET, pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast(IntegerType))
+    val alignedBatch = alignTo(bucketed, target)
+
+    val touched: Set[Int] = bucketed
+      .select(BUCKET)
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+
+    if (touched.isEmpty) {
+      // empty batch: still record the fence advance as a metadata-only commit
+      val version = prev.map(_.version + 1).getOrElse(1L)
+      val meta = CommitMeta(
+        version = version,
+        idempotenceKey = idempotenceKey,
+        resolvedNanos = resolved.nanos,
+        resolvedLogical = resolved.logical,
+        schemaDdl = evolved.toDDL,
+        numBuckets = numBuckets,
+        buckets = prev.map(_.buckets).getOrElse(Map.empty),
+        bucketSchemas = prev.map(_.bucketSchemas).getOrElse(Map.empty),
+        metrics = Map("rows_written" -> 0L, "touched_buckets" -> 0L),
+        partitionMetrics = Map.empty,
+        lineage = lineage,
+        committedAtMs = System.currentTimeMillis()
+      )
+      return if (log.commit(meta)) Some(meta) else None
+    }
+
+    val current = alignTo(readRaw(Some(touched)), target)
+
+    val prevFence = prev
+      .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+      .getOrElse(Hlc.Zero)
+
+    val all = current.unionByName(alignedBatch)
+    val hlcTuple = struct(col(NANOS), col(LOGICAL))
+    val winners = all
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(all.columns.map(col): _*), hlcTuple).as("__row"))
+      .select(all.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+      // GC tombstones at/below the previous fence: nothing older can arrive
+      .filter(
+        !col(DELETED) ||
+          struct(col(NANOS), col(LOGICAL)) >
+          struct(lit(prevFence.nanos), lit(prevFence.logical))
+      )
+
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    val dataRel = f"data/v$version%08d"
+    val dataDir = s"$root/$dataRel"
+    winners
+      .withColumn("__bp", col(BUCKET))
+      .repartition(col(BUCKET))
+      .write
+      .mode("overwrite")
+      .partitionBy("__bp")
+      .parquet(dataDir)
+
+    // metrics from the written files: column pruning makes this a cheap
+    // metadata-ish scan of just (__bucket, __deleted)
+    val written = spark.read
+      .schema(target.add("__bp", IntegerType))
+      .parquet(dataDir)
+    val perBucket = written
+      .groupBy(col(BUCKET))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(col(DELETED).cast(LongType)).as("tombstones")
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
+    val newBuckets: Map[String, String] =
+      prev.map(_.buckets).getOrElse(Map.empty) ++
+        perBucket.map { case (b, _, _) => b.toString -> s"$dataRel/__bp=$b" }.toMap
+    // a touched bucket may end up empty (all rows deleted + GC'd): drop it
+    val emptied = touched.map(_.toString) --
+      perBucket.map(_._1.toString).toSet
+    val finalBuckets = newBuckets -- emptied
+
+    val newBucketSchemas: Map[String, String] =
+      (prev.map(_.bucketSchemas).getOrElse(Map.empty) ++
+        perBucket.map { case (b, _, _) => b.toString -> evolved.toDDL }.toMap)
+        .filter { case (b, _) => finalBuckets.contains(b) }
+
+    val rowsWritten = perBucket.map(_._2).sum
+    val tombstones = perBucket.map(_._3).sum
+
+    val meta = CommitMeta(
+      version = version,
+      idempotenceKey = idempotenceKey,
+      resolvedNanos = resolved.nanos,
+      resolvedLogical = resolved.logical,
+      schemaDdl = evolved.toDDL,
+      numBuckets = numBuckets,
+      buckets = finalBuckets,
+      bucketSchemas = newBucketSchemas,
+      metrics = Map(
+        "rows_written" -> rowsWritten,
+        "tombstones" -> tombstones,
+        "live_rows_in_touched_buckets" -> (rowsWritten - tombstones),
+        "touched_buckets" -> touched.size.toLong
+      ),
+      partitionMetrics =
+        perBucket.map { case (b, n, _) => b.toString -> n }.toMap,
+      lineage = lineage,
+      committedAtMs = System.currentTimeMillis()
+    )
+    if (log.commit(meta)) Some(meta)
+    else if (log.contains(idempotenceKey)) None
+    else {
+      // version collision without our key: single-writer contract violated;
+      // surface loudly rather than guessing
+      throw new IllegalStateException(
+        s"commit conflict at version $version for $root"
+      )
+    }
+  }
+}
+
+object SnapshotTable {
+  val NANOS = "__hlc_nanos"
+  val LOGICAL = "__hlc_logical"
+  val DELETED = "__deleted"
+  val BUCKET = "__bucket"
+  val META_COLS: Seq[String] = Seq(NANOS, LOGICAL, DELETED, BUCKET)
+  val META_COL_SET: Set[String] = META_COLS.toSet
+
+  def withMeta(payload: StructType): StructType =
+    StructType(
+      payload.fields ++ Seq(
+        StructField(NANOS, LongType, nullable = false),
+        StructField(LOGICAL, IntegerType, nullable = false),
+        StructField(DELETED, BooleanType, nullable = false),
+        StructField(BUCKET, IntegerType, nullable = true)
+      )
+    )
+
+  /** Project/cast `df` to exactly `target`'s columns: missing columns become
+    * typed nulls, present columns are cast (widening only, by construction).
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(target.fields.map { f =>
+      if (have.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+}

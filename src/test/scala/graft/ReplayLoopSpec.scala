@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.applyops.TableSpec
+import graft.feed.Generator
+import graft.feed.Generator.FeedSpec
+import graft.loop.ReplayLoop
+import graft.model.Hlc
+import graft.stage.StagedStore
+import graft.table.SnapshotTable
+
+/** End-to-end replay against an independent in-memory oracle, with
+  * kill/resume and replay-from-zero idempotence — the analog of the
+  * reference's chaos + mass-backfill convergence test
+  * (reference: internal/source/cdc/handler_test.go:403-540).
+  */
+class ReplayLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val feedSpec = FeedSpec(
+    seed = 42L,
+    numEvents = 3000L,
+    numKeys = 700L,
+    numRepos = 11,
+    resolvedWindows = 3,
+    eventsPerFile = 250L,
+    disorderBlock = 100L
+  )
+
+  private val payloadSchema = StructType(
+    Seq(
+      StructField("repo", StringType),
+      StructField("path", StringType),
+      StructField("commit", StringType),
+      StructField("lang", StringType),
+      StructField("content", StringType)
+    )
+  )
+  private val spec = TableSpec(payloadSchema, Seq("repo", "path"))
+
+  /** In-memory oracle: last-writer-wins over the canonical event stream. */
+  private def expectedState(
+      fs: FeedSpec
+  ): Map[(String, String), (String, String, String)] = {
+    // per key, the canonical event with max (nanos, logical)
+    val winners = scala.collection.mutable.Map[Long, (Long, Int, Long)]()
+    (0L until fs.numEvents).foreach { jIn =>
+      val j = Generator.canonicalIndex(fs, jIn)
+      val k = Generator.keyId(fs, j)
+      val nanos = fs.baseNanos + Generator.tsRank(fs, j) * fs.nanosStep
+      val logical = (Generator.mix64(fs.seed ^ j) & 0x3).toInt
+      val cur = winners.get(k)
+      val newer = cur.isEmpty || nanos > cur.get._1 ||
+        (nanos == cur.get._1 && logical > cur.get._2)
+      if (newer) {
+        winners(k) = (nanos, logical, j)
+      }
+    }
+    winners.flatMap { case (k, (_, _, j)) =>
+      if (Generator.isDeleteOf(fs, j)) None
+      else
+        Some(
+          (Generator.repoOf(fs, k), Generator.pathOf(k)) ->
+            ((Generator.commitOf(fs, j), Generator.langOf(k), Generator.contentOf(fs, k, j)))
+        )
+    }.toMap
+  }
+
+  private def tableState(
+      t: SnapshotTable
+  ): Map[(String, String), (String, String, String)] =
+    t.read()
+      .select("repo", "path", "commit", "lang", "content")
+      .as[(String, String, String, String, String)]
+      .collect()
+      .map { case (r, p, c, l, ct) => ((r, p), (c, l, ct)) }
+      .toMap
+
+  private def newLoop(feedDir: String, base: String): (ReplayLoop, SnapshotTable) = {
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 16)
+    val stage = new StagedStore(
+      spark,
+      s"$base/stage",
+      bucketNanos = feedSpec.nanosStep * 500
+    )
+    val loop = new ReplayLoop(
+      spark,
+      feedDir,
+      table,
+      stage,
+      s"$base/checkpoint",
+      spec,
+      saltBuckets = 8,
+      maxFilesPerTrigger = 3
+    )
+    (loop, table)
+  }
+
+  test("full replay matches the oracle, including per-row sha256(content)") {
+    val feedDir = tmpDir("feed")
+    val base = tmpDir("e2e")
+    Generator.writeFeed(spark, feedSpec, feedDir, parallelism = 4)
+
+    val (loop, table) = newLoop(feedDir, base)
+    loop.runAvailableNow()
+
+    val expected = expectedState(feedSpec)
+    val got = tableState(table)
+    assert(got.size == expected.size)
+    assert(got == expected)
+
+    // per-row content sha256 equality (the BASELINE per-row invariant)
+    val gotSha = table
+      .read()
+      .select(concat_ws("|", col("repo"), col("path"), sha2(col("content"), 256)))
+      .as[String]
+      .collect()
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expSha = expected.toSeq.map { case ((r, p), (_, _, ct)) =>
+      val hex = md
+        .digest(ct.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      s"$r|$p|$hex"
+    }.sorted
+    assert(gotSha.toSeq == expSha)
+
+    // fence advanced to the last resolved window
+    assert(loop.committedFence.nanos > 0)
+
+    // replay from a WIPED checkpoint must converge to the identical state
+    // (idempotent commits + LWW register semantics)
+    deleteRecursively(Paths.get(s"$base/checkpoint"))
+    val (loop2, table2) = newLoop(feedDir, base)
+    loop2.runAvailableNow()
+    assert(tableState(table2) == expected)
+  }
+
+  test("kill mid-feed, resume from checkpoint, state converges") {
+    val feedDir = tmpDir("feed2")
+    val holdback = tmpDir("holdback")
+    val base = tmpDir("e2e2")
+    Generator.writeFeed(spark, feedSpec, feedDir, parallelism = 4)
+
+    // hold back the last third of the chunks (simulates the kill point)
+    val chunks = Files
+      .list(Paths.get(feedDir))
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("chunk="))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+    val toHold = chunks.drop(chunks.size * 2 / 3)
+    toHold.foreach { p =>
+      Files.move(p, Paths.get(holdback, p.getFileName.toString))
+    }
+
+    val (loop1, table1) = newLoop(feedDir, base)
+    loop1.runAvailableNow()
+    val fence1 = loop1.committedFence
+    assert(fence1 > Hlc.Zero) // at least one window committed
+    assert(tableState(table1).nonEmpty)
+
+    // "restart": deliver the held-back chunks, resume from the checkpoint
+    Files
+      .list(Paths.get(holdback))
+      .iterator()
+      .asScala
+      .foreach(p => Files.move(p, Paths.get(feedDir, p.getFileName.toString)))
+    val (loop2, table2) = newLoop(feedDir, base)
+    loop2.runAvailableNow()
+
+    assert(tableState(table2) == expectedState(feedSpec))
+    assert(loop2.committedFence > fence1)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Hlc
+import graft.table.SnapshotTable
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(
+      rows: Seq[(String, String, String, Long, Int, Boolean)]
+  ): DataFrame =
+    rows.toDF("repo", "path", "content", "__hlc_nanos", "__hlc_logical", "__deleted")
+
+  private val pk = Seq("repo", "path")
+
+  test("merge + read round-trip, idempotent replay, LWW vs table") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 8)
+    val b1 = batch(
+      Seq(
+        ("r1", "a", "v1", 10L, 0, false),
+        ("r1", "b", "v1", 11L, 0, false),
+        ("r2", "a", "v1", 12L, 0, false)
+      )
+    )
+    assert(t.merge(b1, pk, "k1", Hlc(12, 0)).isDefined)
+    assert(t.read().count() == 3)
+
+    // replay of the same idempotence key is a no-op
+    assert(t.merge(b1, pk, "k1", Hlc(12, 0)).isEmpty)
+    assert(t.log.all().size == 1)
+
+    // newer row wins; OLDER row arriving later must NOT clobber (LWW vs table)
+    val b2 = batch(
+      Seq(
+        ("r1", "a", "v2", 20L, 0, false), // newer: wins
+        ("r1", "b", "v0", 5L, 0, false) // older: ignored
+      )
+    )
+    assert(t.merge(b2, pk, "k2", Hlc(20, 0)).isDefined)
+    val m = t.read()
+      .select("repo", "path", "content")
+      .as[(String, String, String)]
+      .collect()
+      .map { case (r, p, c) => ((r, p), c) }
+      .toMap
+    assert(m(("r1", "a")) == "v2")
+    assert(m(("r1", "b")) == "v1")
+    assert(m(("r2", "a")) == "v1")
+  }
+
+  test("deletes tombstone, hide from read, GC below the previous fence") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    t.merge(batch(Seq(("r1", "a", "v1", 10L, 0, false))), pk, "k1", Hlc(10, 0))
+    t.merge(batch(Seq(("r1", "a", null, 20L, 0, true))), pk, "k2", Hlc(20, 0))
+    assert(t.read().count() == 0)
+    // tombstone still present raw (protects against late older upserts)
+    assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 1)
+
+    // a LATE older upsert for the deleted key must stay dead
+    t.merge(batch(Seq(("r1", "a", "old", 15L, 0, false))), pk, "k3", Hlc(21, 0))
+    assert(t.read().count() == 0)
+
+    // next merge GCs tombstones at/below the previous fence (21)
+    t.merge(batch(Seq(("r1", "a", "new", 30L, 0, false))), pk, "k4", Hlc(30, 0))
+    assert(t.read().count() == 1)
+    assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 0)
+  }
+
+  test("schema evolution: added column and int->long widening, old buckets reused") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 16)
+    val b1 = Seq(("r1", "a", "v1", 1, 10L, 0, false), ("r9", "z", "v1", 2, 10L, 0, false))
+      .toDF("repo", "path", "content", "stars", "__hlc_nanos", "__hlc_logical", "__deleted")
+    t.merge(b1, pk, "k1", Hlc(10, 0))
+    assert(t.read().schema("stars").dataType.typeName == "integer")
+
+    // second batch: stars becomes long, and a new column appears
+    val b2 = Seq(("r1", "a", "v2", 99999999999L, "main", 20L, 0, false))
+      .toDF("repo", "path", "content", "stars", "branch", "__hlc_nanos", "__hlc_logical", "__deleted")
+    val meta2 = t.merge(b2, pk, "k2", Hlc(20, 0)).get
+    val out = t.read()
+    assert(out.schema("stars").dataType.typeName == "long")
+    assert(out.schema.fieldNames.contains("branch"))
+    val rows = out
+      .select("repo", "path", "stars", "branch")
+      .as[(String, String, Long, Option[String])]
+      .collect()
+      .toSet
+    assert(rows.contains(("r1", "a", 99999999999L, Some("main"))))
+    assert(rows.contains(("r9", "z", 2L, None)))
+
+    // untouched bucket dirs must be carried forward from v1 (copy-on-write)
+    assert(meta2.buckets.values.exists(_.contains("v00000001")))
+  }
+
+  test("empty batch commits a metadata-only fence advance") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    t.merge(batch(Seq(("r1", "a", "v1", 10L, 0, false))), pk, "k1", Hlc(10, 0))
+    val empty = batch(Seq.empty)
+    val m = t.merge(empty, pk, "k2", Hlc(50, 0))
+    assert(m.isDefined)
+    assert(m.get.metrics("rows_written") == 0L)
+    assert(t.read().count() == 1)
+    assert(t.log.latest().get.resolvedNanos == 50L)
+  }
+
+  test("per-partition metrics and lineage are recorded") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    val meta = t
+      .merge(
+        batch((0 until 100).map(i => (s"r$i", "p", "v", 10L, 0, false))),
+        pk,
+        "k1",
+        Hlc(10, 0),
+        lineage = Seq("file-1.ndjson")
+      )
+      .get
+    assert(meta.partitionMetrics.values.sum == 100L)
+    assert(meta.partitionMetrics.size > 1) // spread over buckets
+    assert(meta.lineage == Seq("file-1.ndjson"))
+    assert(meta.metrics("rows_written") == 100L)
+  }
+}
