@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration point for graft's native Catalyst expressions.
+  *
+  * Registering through the session FunctionRegistry (rather than a
+  * private-API Column bridge) keeps the expressions first-class: usable
+  * from SQL (`SELECT graft_simhash64(text) ...`) and from the Column API
+  * via [[simhash64]] / [[winnow]].
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => SimHash64(exprs.head),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_winnow",
+      {
+        case Seq(c) => Winnow(c, 7, 8)
+        case Seq(c, k, w) =>
+          Winnow(
+            c,
+            k.eval().asInstanceOf[Number].intValue(),
+            w.eval().asInstanceOf[Number].intValue()
+          )
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_winnow expects 1 or 3 args, got ${other.size}"
+          )
+      },
+      "built-in"
+    )
+  }
+
+  /** 64-bit SimHash of the text column (requires [[register]]). */
+  def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+
+  /** Winnowing fingerprints `array<long>` (requires [[register]]). */
+  def winnow(c: Column, k: Int = 7, w: Int = 8): Column =
+    call_function(
+      "graft_winnow",
+      c,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w)
+    )
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of whitespace-tokenized text (Charikar 2002, "Similarity
+  * estimation techniques from rounding algorithms") — near-duplicate
+  * fingerprint: documents with small Hamming distance between SimHashes are
+  * textually similar.
+  *
+  * Implemented as a native Catalyst `Expression` (not a Scala UDF) so the
+  * kernel runs inside the operator pipeline without SerDe per row; the eval
+  * itself is a tight token loop. CodegenFallback keeps surrounding operators
+  * in whole-stage codegen.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    java.lang.Long.valueOf(SimHash64.simhash(s))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over the token bytes, finalized with splitmix. */
+  private def tokenHash(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def simhash(s: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = tokenHash(s, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Column API — see [[GraftFunctions.simhash64]] (registry-based). */
+  def simhash64(c: Column): Column = GraftFunctions.simhash64(c)
+}

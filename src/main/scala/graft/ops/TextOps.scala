@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, fingerprinting.
+  * All pure Catalyst column expressions (codegen'd) — no UDFs — so they
+  * vectorize over a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces, numbers, and punctuation runs
+    * counted separately (a cheap stand-in for a real tokenizer's token
+    * count; the regex mirrors the GPT-2 pre-tokenizer's shape).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val enStop = Seq(
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "was", "for",
+    "on", "are", "as", "with", "his", "they", "at", "be", "this", "have",
+    "from", "or", "had", "by", "not", "but", "what", "all", "were", "we"
+  )
+  private val deStop = Seq(
+    "der", "die", "das", "und", "ist", "ich", "nicht", "sie", "es", "ein",
+    "eine", "zu", "den", "mit", "auf", "für", "von", "dem", "sich", "auch"
+  )
+  private val frStop = Seq(
+    "le", "la", "les", "et", "est", "je", "pas", "vous", "que", "une",
+    "un", "des", "dans", "qui", "pour", "sur", "avec", "il", "elle", "nous"
+  )
+  private val esStop = Seq(
+    "el", "la", "los", "las", "y", "es", "no", "que", "una", "un", "de",
+    "en", "por", "para", "con", "se", "su", "al", "lo", "como"
+  )
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, lit(words.toArray)))
+
+  /** Heuristic language ID over a small stopword inventory, plus a `code`
+    * class for symbol-dense text. Returns a lowercase label
+    * (en/de/fr/es/code/unknown). Declarative: per-language stopword-hit
+    * counts, winner via lexicographic struct max.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val symbolDensity =
+      size(regexp_extract_all(text, lit("[{}();=<>\\[\\]]"), lit(0)))
+    val scored = greatest(
+      struct(stopHits(toks, enStop).as("s"), lit("en").as("l")),
+      struct(stopHits(toks, deStop).as("s"), lit("de").as("l")),
+      struct(stopHits(toks, frStop).as("s"), lit("fr").as("l")),
+      struct(stopHits(toks, esStop).as("s"), lit("es").as("l")),
+      struct((symbolDensity / lit(2)).as("s"), lit("code").as("l"))
+    )
+    when(scored.getField("s") > 0, scored.getField("l")).otherwise(lit("unknown"))
+  }
+
+  /** Quality features: character/token counts, mean token length,
+    * punctuation/digit/uppercase ratios, English stopword ratio — the usual
+    * pre-training corpus filters (C4/Gopher-style heuristics).
+    */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val punct =
+      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
+    val digits =
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+    val uppers =
+      size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+    val stop = stopHits(tokens(lower(text)), enStop).cast("double")
+    val safeChars = greatest(nChars, lit(1.0))
+    val safeToks = greatest(nToks, lit(1.0))
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      (nChars / safeToks).as("mean_token_len"),
+      (punct / safeChars).as("punct_ratio"),
+      (digits / safeChars).as("digit_ratio"),
+      (uppers / safeChars).as("upper_ratio"),
+      (stop / safeToks).as("stopword_ratio")
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short docs, extreme
+    * punctuation/digit density, and missing stopwords.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore =
+      least(f.getField("n_tokens").cast("double") / lit(20.0), lit(1.0))
+    val punctScore =
+      lit(1.0) - least(f.getField("punct_ratio") * lit(3.0), lit(1.0))
+    val digitScore =
+      lit(1.0) - least(f.getField("digit_ratio") * lit(3.0), lit(1.0))
+    val stopScore = least(f.getField("stopword_ratio") * lit(4.0), lit(1.0))
+    round(
+      (lenScore * lit(0.3) + punctScore * lit(0.3) +
+        digitScore * lit(0.2) + stopScore * lit(0.2)),
+      6
+    )
+  }
+
+  /** Exact-content fingerprint (for exact dedup). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Normalized content fingerprint: lowercase, collapse whitespace —
+    * catches trivially-reformatted duplicates.
+    */
+  def normalizedHash(text: Column): Column =
+    sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+}

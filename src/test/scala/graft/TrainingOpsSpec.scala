@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, SimHash64, Winnow}
+import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and walks away fast"), // near dup of 1
+    (4L, "der schnelle braune fuchs springt und die hunde sind nicht da und das ist ein test"),
+    (5L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (6L, "int main() { return 0; } // {}();= dense symbols [a](b) <c> = {d};")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per content hash") {
+    val dd = DedupOps.exactDedup(docs, "text", "doc_id")
+    assert(dd.count() == 5)
+    assert(dd.filter($"doc_id" === 2L).count() == 0) // min-id representative kept
+    val groups = DedupOps.exactDupGroups(docs, "text", "doc_id")
+    assert(groups.filter($"copies" === 2).count() == 1)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = DedupOps
+      .minhashCandidatePairs(docs, "text", "doc_id", k = 5, numHashes = 32, bands = 8)
+    val verified = DedupOps
+      .jaccardVerify(pairs, docs, "text", "doc_id", k = 5, threshold = 0.6)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(verified.contains((1L, 2L))) // exact dup
+    assert(verified.contains((1L, 3L)) || verified.contains((2L, 3L))) // near dup
+    assert(!verified.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
+  }
+
+  test("simhash: identical ham dist 0; near-dup small; unrelated large") {
+    val h1 = SimHash64.simhash("the quick brown fox jumps over the lazy dog and runs away fast")
+    val h2 = SimHash64.simhash("the quick brown fox jumps over the lazy dog and walks away fast")
+    val h3 = SimHash64.simhash("completely different content about spark catalyst optimizer internals")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h1) == 0)
+    assert(ham(h1, h2) < ham(h1, h3))
+
+    val pairs = DedupOps
+      .simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("winnowing fingerprints: shared substrings => shared fingerprints") {
+    val a = "x" * 3 + "the quick brown fox jumps over the lazy dog" + "y" * 3
+    val b = "z" * 9 + "the quick brown fox jumps over the lazy dog" + "w" * 5
+    val fa = Winnow.fingerprints(a, 7, 8).toSet
+    val fb = Winnow.fingerprints(b, 7, 8).toSet
+    assert((fa & fb).nonEmpty) // guarantee: shared run >= w+k-1 shares a print
+    val fc = Winnow.fingerprints("totally unrelated material 123456", 7, 8).toSet
+    assert((fa & fc).isEmpty)
+    // registered SQL surface
+    val viaSql = docs
+      .select(expr("graft_winnow(text, 7, 8)").as("fp"))
+      .filter(size($"fp") > 0)
+    assert(viaSql.count() == docs.count())
+  }
+
+  test("brute-force knn: top-1 is the vector itself, cosine descending") {
+    val base = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("id", "vec")
+    val queries = base
+      .filter($"id" < 3)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val knn = SimilarityOps.knnBruteForce(queries, base, k = 5)
+    val top1 = knn
+      .filter($"rank" === 1)
+      .select("qid", "id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(top1 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // scores non-increasing per query
+    val rows = knn
+      .orderBy($"qid", $"rank")
+      .select("qid", "cos")
+      .as[(Long, Double)]
+      .collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      val scores = g.map(_._2).toSeq
+      assert(scores.zip(scores.drop(1)).forall { case (x, y) => x >= y - 1e-12 })
+    }
+  }
+
+  test("LSH-bucketed knn achieves decent recall of brute force top-3") {
+    val base = (0 until 300)
+      .map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong, Array.fill(16)((r.nextDouble() * 2 - 1).toFloat))
+      }
+      .toDF("id", "vec")
+    val queries = base
+      .filter($"id" < 10)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val exact = SimilarityOps
+      .knnBruteForce(queries, base, 3)
+      .select("qid", "id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = SimilarityOps
+      .lshBucketKnn(queries, base, 3, bits = 6)
+      .select("qid", "id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("embedding cosine near-dup pairs finds planted duplicates") {
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(12)((r.nextDouble() * 2 - 1).toFloat))
+    }
+    // plant: 100 is a tiny perturbation of 0
+    val planted = vecs :+ (100L, vecs.head._2.map(x => x + 0.001f))
+    val df = planted.toDF("id", "vec")
+    val pairs = SimilarityOps
+      .cosineNearDupPairs(df, threshold = 0.999, bits = 6)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("text ops: token counts, language id, quality score") {
+    val en = "the cat is on the mat and it is a good day for all of us"
+    val de = "der hund ist nicht da und das ist ein gutes zeichen für sie"
+    val row = Seq((en, de)).toDF("en", "de")
+    val got = row
+      .select(
+        TextOps.tokenCount($"en").as("tc"),
+        TextOps.langId($"en").as("len"),
+        TextOps.langId($"de").as("lde"),
+        TextOps.qualityScore($"en").as("q")
+      )
+      .as[(Int, String, String, Double)]
+      .head()
+    assert(got._1 == en.split("\\s+").length)
+    assert(got._2 == "en")
+    assert(got._3 == "de")
+    assert(got._4 > 0.5 && got._4 <= 1.0)
+
+    val code = Seq("int main() { return x[i] = {1}; } // {}();=").toDF("t")
+    assert(code.select(TextOps.langId($"t")).as[String].head() == "code")
+  }
+
+  test("multimodal: batched feature extraction over synthetic blobs") {
+    val ids = spark.range(0, 100).toDF("media_id")
+    val blobs = MultiModalOps.syntheticBlobs(ids, "media_id", bytesPerBlob = 128)
+    val feats = MultiModalOps.extractFeatures(spark, blobs, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.byte_len == 128))
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64))
+    // deterministic: same input -> same features
+    val again = MultiModalOps.extractFeatures(spark, blobs, batchSize = 7).collect()
+    assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    // frame sampling plan fans out deterministically
+    val plan = MultiModalOps.frameSamplePlan(blobs, framesPerDoc = 4)
+    assert(plan.count() == 400)
+  }
+}
