@@ -1,24 +1,145 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times the headline queries on SPARK_GRAFT_SF_DIR,
+  * then runs the end-to-end changefeed replay at two parallelism levels
+  * (local[N] and local[4N] — the sandbox stand-in for N vs 4N executors)
+  * on the SAME generated feed and reports throughput at both plus the
+  * scaling efficiency (BASELINE.md: target >= 0.8).
+  *
+  * Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def mkSession(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Replay `numEvents` at a parallelism level; returns events/sec. */
+  private def replayAt(
+      cores: Int,
+      feedDir: String,
+      workDir: String,
+      numEvents: Long
+  ): Double = {
+    import org.apache.spark.sql.types._
+    import graft.applyops.TableSpec
+    import graft.loop.ReplayLoop
+    import graft.stage.StagedStore
+    import graft.table.SnapshotTable
+    val spark = mkSession(cores)
+    try {
+      val payload = StructType(
+        Seq(
+          StructField("repo", StringType),
+          StructField("path", StringType),
+          StructField("commit", StringType),
+          StructField("lang", StringType),
+          StructField("content", StringType)
+        )
+      )
+      val table = new SnapshotTable(spark, s"$workDir/table", numBuckets = 64)
+      val stage = new StagedStore(
+        spark,
+        s"$workDir/stage",
+        bucketNanos = 1000000L * math.max(1000L, numEvents / 16)
+      )
+      val loop = new ReplayLoop(
+        spark,
+        feedDir,
+        table,
+        stage,
+        s"$workDir/checkpoint",
+        TableSpec(payload, Seq("repo", "path")),
+        saltBuckets = 64,
+        maxFilesPerTrigger = 16
+      )
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      loop.runAvailableNow()
+      numEvents / ((System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "8").toInt
+    val replayEvents =
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_EVENTS", "200000").toLong
+
+    // ---- phase 1: headline operator queries at local[cpus] --------------
+    val headline = Seq(
+      "q_lww_dedup",
+      "q_lww_salted",
+      "q_cdc_apply",
+      "q_cas_gate",
+      "q_fence_window",
+      "q_agg_lineitem",
+      "q_join_mktsegment",
+      "q_window_rank",
+      "q_dedup_exact",
+      "q_token_count",
+      "q_text_stats",
+      "q_quality_score",
+      "q_minhash_pairs",
+      "q_simhash_pairs",
+      "q_knn_cosine",
+      "q_knn_lsh"
+    )
+    val spark = mkSession(cpus)
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        // noop sink forces full computation of every output column
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: scaling replay — same feed, two parallelism levels ----
+    val benchRoot = java.nio.file.Files
+      .createTempDirectory("graft-bench-replay")
+      .toString
+    val feedDir = s"$benchRoot/feed"
+    val spec = graft.feed.Generator.FeedSpec(
+      seed = 42L,
+      numEvents = replayEvents,
+      numKeys = math.max(1000L, replayEvents / 4),
+      resolvedWindows = 4,
+      eventsPerFile = math.max(1000L, replayEvents / 32),
+      disorderBlock = 1000L
+    )
+    graft.feed.Generator.writeFeed(spark, spec, feedDir, parallelism = cpus)
     spark.stop()
+
+    val epsBase = replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
+    val eps4x = replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}", replayEvents)
+    val efficiency = (eps4x / epsBase) / 4.0
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"}}}"""
+    )
   }
 }

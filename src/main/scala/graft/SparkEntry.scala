@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.applyops.{ApplyPlanner, TableSpec}
+import graft.dedup.LastWriterWins
+import graft.functions.GraftFunctions
+import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+
+/** Driver contract — one query per implemented operator family (SURVEY.md
+  * §2), each SQL-expressible one paired with equivalent DuckDB oracle SQL
+  * over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout: outputs carry only strings and
+  * bigints (money as exact cents via ROUND(x*100)::BIGINT, timestamps as
+  * epoch microseconds) so cross-engine hashing can't diverge on float
+  * formatting; every aggregate/computed column is aliased identically on
+  * both sides.
+  */
 object SparkEntry {
+
+  private def pq(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC kernels (SURVEY §2.3 W1, §2.1 S9/S11, §2.2 K4) -------------
+    "q_lww_dedup" -> ((s, dir) => {
+      // W1: last-writer-wins dedup per key as the canonical Catalyst window
+      val e = pq(s, dir, "events")
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("last_ts_us")
+        )
+        .orderBy("user_id")
+    }),
+    "q_lww_salted" -> ((s, dir) => {
+      // W1 scale path: salted two-phase reduce, same result as the window
+      val e = pq(s, dir, "events").select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us")
+      )
+      LastWriterWins
+        .dedupSalted(e, Seq("user_id"), Seq("ts_us", "event_id"), 16)
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("ts_us").as("last_ts_us")
+        )
+        .orderBy("user_id")
+    }),
+    "q_cdc_apply" -> ((s, dir) => {
+      // K2/K3: apply a keyed changefeed — final visible state after LWW,
+      // with 'error' events acting as deletes (tombstoned keys vanish)
+      val e = pq(s, dir, "events")
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("last_ts_us")
+        )
+        .orderBy("user_id")
+    }),
+    "q_txn_times" -> ((s, dir) => {
+      // S11: distinct commit timestamps in staging
+      pq(s, dir, "events")
+        .select(unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+        .distinct()
+        .orderBy("ts_us")
+    }),
+    "q_fence_window" -> ((s, dir) => {
+      // S9: staged-mutation window scan (fence bounds pushed to the scan)
+      pq(s, dir, "events")
+        .filter(
+          col("ts").cast(TimestampType) > to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts").cast(TimestampType) <= to_timestamp(lit("2024-01-20 00:00:00"))
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id")
+        )
+        .orderBy("event_type")
+    }),
+    "q_cas_gate" -> ((s, dir) => {
+      // K4: conditional (CAS) upsert gate — proposed tuple must beat current
+      val e = pq(s, dir, "events").select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us")
+      )
+      val current = LastWriterWins.dedupSalted(
+        e.filter(col("event_id") % 2 === 0),
+        Seq("user_id"),
+        Seq("ts_us", "event_id"),
+        8
+      )
+      val proposed = e
+        .filter(col("event_id") % 2 === 1)
+        .withColumn("__deleted", lit(false))
+      val accepted = ApplyPlanner
+        .casFilter(proposed, current, Seq("user_id"), Seq("ts_us", "event_id"))
+      proposed
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_proposed"))
+        .join(
+          accepted.groupBy("user_id").agg(count(lit(1)).as("n_accepted")),
+          Seq("user_id"),
+          "left"
+        )
+        .select(
+          col("user_id"),
+          col("n_proposed"),
+          coalesce(col("n_accepted"), lit(0L)).as("n_accepted")
+        )
+        .orderBy("user_id")
+    }),
+    // --- relational breadth: agg / join / top-k / window ----------------
+    "q_agg_lineitem" -> ((s, dir) => {
+      pq(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("price_cents")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_mktsegment" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val c = pq(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("total_cents")
+        )
+        .orderBy("c_mktsegment")
+    }),
+    "q_topk_orders" -> ((s, dir) => {
+      pq(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents")
+        )
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      pq(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w).cast(LongType).as("rn")
+        )
+        .orderBy("o_custkey", "rn")
+    }),
+    // --- training-data ops over documents/embeddings --------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy("content_md5")
+    }),
+    "q_token_count" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast(LongType)
+            .as("n_tokens")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_text_stats" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast(LongType)
+            .as("n_digits"),
+          length(regexp_replace(col("text"), "[^A-Z]", ""))
+            .cast(LongType)
+            .as("n_upper")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_lang_agg" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+    // --- rows-only checks (non-SQL-expressible operators) ----------------
+    "q_minhash_pairs" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      DedupOps
+        .minhashCandidatePairs(d, "text", "doc_id", k = 5, numHashes = 32, bands = 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = pq(s, dir, "documents")
+      DedupOps
+        .simhashPairs(d, "text", "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_winnow_fp" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(GraftFunctions.winnow(col("text"), 7, 8)).cast(LongType)
+            .as("n_fingerprints"),
+          array_min(GraftFunctions.winnow(col("text"), 7, 8)).as("min_fp")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_langid_pred" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          col("lang").as("stored_lang")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_knn_cosine" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb
+        .filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      SimilarityOps
+        .knnBruteForce(queries, emb, k = 5)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb
+        .filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      SimilarityOps
+        .lshBucketKnn(queries, emb, k = 5, bits = 8)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+    "q_embed_near_dup" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      SimilarityOps
+        .cosineNearDupPairs(emb, threshold = 0.99, bits = 6)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+    "q_media_features" -> ((s, dir) => {
+      val ids = pq(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val blobs = MultiModalOps.syntheticBlobs(ids, "media_id", 128)
+      MultiModalOps
+        .extractFeatures(s, blobs)
+        .toDF()
+        .select("media_id", "mime", "byte_len", "width", "height")
+        .orderBy("media_id")
+    }),
+    "q_replay_e2e" -> ((s, dir) => {
+      // whole-engine smoke inside the harness: generate a small changefeed,
+      // run the staged replay loop, return the final per-repo state
+      import graft.feed.Generator
+      import graft.loop.ReplayLoop
+      import graft.stage.StagedStore
+      import graft.table.SnapshotTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-entry-replay")
+        .toString
+      val fs = Generator.FeedSpec(
+        seed = 42L,
+        numEvents = 2000L,
+        numKeys = 400L,
+        numRepos = 7,
+        resolvedWindows = 2,
+        eventsPerFile = 500L,
+        disorderBlock = 100L
+      )
+      Generator.writeFeed(s, fs, s"$base/feed", parallelism = 4)
+      val table = new SnapshotTable(s, s"$base/table", numBuckets = 8)
+      val stage = new StagedStore(s, s"$base/stage", bucketNanos = fs.nanosStep * 500)
+      val payload = StructType(
+        Seq(
+          StructField("repo", StringType),
+          StructField("path", StringType),
+          StructField("commit", StringType),
+          StructField("lang", StringType),
+          StructField("content", StringType)
+        )
+      )
+      val loop = new ReplayLoop(
+        s,
+        s"$base/feed",
+        table,
+        stage,
+        s"$base/checkpoint",
+        TableSpec(payload, Seq("repo", "path")),
+        saltBuckets = 8,
+        maxFilesPerTrigger = 2
+      )
+      loop.runAvailableNow()
+      table
+        .read()
+        .groupBy(col("repo"))
+        .agg(
+          count(lit(1)).as("n_paths"),
+          expr("bit_xor(xxhash64(repo, path, sha2(content, 256)))").as("state_fp")
+        )
+        .orderBy("repo")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_lww_dedup" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_lww_salted" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT user_id, last_event_id, last_type, last_ts_us FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |) WHERE last_type <> 'error' ORDER BY user_id""".stripMargin,
+    "q_txn_times" ->
+      "SELECT DISTINCT epoch_us(ts) AS ts_us FROM events ORDER BY ts_us",
+    "q_fence_window" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cas_gate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |cur AS (
+        |  SELECT user_id, ts_us AS c_ts, event_id AS c_id FROM e WHERE event_id % 2 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1
+        |),
+        |prop AS (SELECT user_id, ts_us AS p_ts, event_id AS p_id FROM e WHERE event_id % 2 = 1)
+        |SELECT p.user_id AS user_id, COUNT(*) AS n_proposed,
+        |       CAST(SUM(CASE WHEN c.user_id IS NULL OR (p.p_ts, p.p_id) > (c.c_ts, c.c_id) THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+        |FROM prop p LEFT JOIN cur c ON p.user_id = c.user_id
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_mktsegment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, COUNT(*) AS copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_agg" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }
