@@ -1,0 +1,166 @@
+package graft.feed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Hlc
+
+/** The reference's other ingest envelopes, re-expressed declaratively.
+  *
+  *  - Webhook (CRDB v21.2 webhook sink): one JSON body carrying a payload
+  *    ARRAY of mutations plus an optional resolved field, each element
+  *    routed by `topic` to its target table
+  *    (reference: internal/source/cdc/webhook.go:35-115). All mutations of
+  *    one body share a staging transaction — in Spark the whole micro-batch
+  *    shares the `foreachBatch` commit, which is strictly stronger.
+  *
+  *  - CDC-query envelope: row payloads carry `__event__`
+  *    (insert/update/delete) and the MVCC stamp under `__crdb__.updated`;
+  *    deletes arrive WITH a row image, and the key is extracted positionally
+  *    from the target's PK columns
+  *    (reference: internal/source/cdc/ndjson_query.go:43-109,
+  *    query_payload.go:50-158).
+  *
+  *  - Resolved-filename timestamps: `.../<33 digits>.RESOLVED` where the
+  *    digits are YYYYMMDDHHMMSS + 9 nanos digits + 10 logical digits
+  *    (reference: internal/source/cdc/resolved.go:69-101).
+  */
+object Envelopes {
+
+  /** Parse webhook bodies (column `value`) into the unified feed schema
+    * plus a `topic` column:
+    * `(topic, key, data, nanos, logical, is_resolved, src_file)`.
+    */
+  def parseWebhookLines(lines: DataFrame, withFile: Boolean = true): DataFrame = {
+    // payload elements keep after/key as raw JSON text: get_json_object
+    // pulls the array, each element is re-dissected the same way
+    val payload = from_json(
+      get_json_object(col("value"), "$.payload"),
+      ArrayType(StringType)
+    )
+    val resolved = get_json_object(col("value"), "$.resolved")
+    val file = if (withFile) input_file_name() else lit("")
+
+    def stamped(df: DataFrame): DataFrame =
+      df.select(
+        col("topic"),
+        col(Changefeed.KEY),
+        col(Changefeed.DATA),
+        substring_index(col("stamp"), ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          col("stamp").contains("."),
+          substring_index(col("stamp"), ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        col(Changefeed.RESOLVED),
+        col(Changefeed.SRC_FILE)
+      ).filter(col(Changefeed.NANOS).isNotNull)
+
+    val base = lines.select(col("value"), file.as(Changefeed.SRC_FILE))
+    val muts = stamped(
+      base
+        .select(explode(payload).as("elem"), col(Changefeed.SRC_FILE))
+        .select(
+          get_json_object(col("elem"), "$.topic").as("topic"),
+          get_json_object(col("elem"), "$.key").as(Changefeed.KEY),
+          get_json_object(col("elem"), "$.after").as(Changefeed.DATA),
+          get_json_object(col("elem"), "$.updated").as("stamp"),
+          lit(false).as(Changefeed.RESOLVED),
+          col(Changefeed.SRC_FILE)
+        )
+    )
+    val res = stamped(
+      base
+        .filter(resolved.isNotNull)
+        .select(
+          lit(null).cast(StringType).as("topic"),
+          lit(null).cast(StringType).as(Changefeed.KEY),
+          lit(null).cast(StringType).as(Changefeed.DATA),
+          resolved.as("stamp"),
+          lit(true).as(Changefeed.RESOLVED),
+          col(Changefeed.SRC_FILE)
+        )
+    )
+    muts.unionByName(res)
+  }
+
+  /** Parse CDC-query ndjson (column `value`): payload rows carry
+    * `__event__` and `__crdb__.updated`; the key is built positionally from
+    * `pkCols`. Output matches [[Changefeed.parseLines]]'s schema (deletes
+    * get `data = null` even though the wire carries a row image — key
+    * extraction happens first, mirroring query_payload.go:117-139).
+    */
+  def parseQueryLines(
+      lines: DataFrame,
+      pkCols: Seq[String],
+      withFile: Boolean = true
+  ): DataFrame = {
+    val stamp = get_json_object(col("value"), "$.__crdb__.updated")
+    val event = get_json_object(col("value"), "$.__event__")
+    val keyArr = to_json(
+      array(
+        pkCols.map(c => get_json_object(col("value"), s"$$.$c")): _*
+      )
+    )
+    // strip the envelope fields from the row image
+    val dataClean = regexp_replace(
+      regexp_replace(
+        col("value"),
+        """,?\s*"__event__"\s*:\s*"[^"]*"""",
+        ""
+      ),
+      """,?\s*"__crdb__"\s*:\s*\{[^}]*\}""",
+      ""
+    )
+    lines
+      .select(
+        keyArr.as(Changefeed.KEY),
+        when(event === "delete", lit(null).cast(StringType))
+          .otherwise(dataClean)
+          .as(Changefeed.DATA),
+        substring_index(stamp, ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          stamp.contains("."),
+          substring_index(stamp, ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        lit(false).as(Changefeed.RESOLVED),
+        (if (withFile) input_file_name() else lit("")).as(Changefeed.SRC_FILE)
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+  }
+
+  /** Parse the 33-digit resolved-filename timestamp
+    * (YYYYMMDDHHMMSS ++ 9 nanos digits ++ 10 logical digits) — driver-side
+    * Scala, mirroring resolved.go:69-101.
+    */
+  def parseResolvedFilename(name: String): Option[Hlc] = {
+    val digits = name.takeWhile(_.isDigit)
+    if (digits.length != 33) return None
+    try {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+      val inst = java.time.Instant.from(fmt.parse(digits.substring(0, 14)))
+      val nanosInSecond = digits.substring(14, 23).toLong
+      val logical = digits.substring(23, 33).toInt
+      Some(Hlc(inst.getEpochSecond * 1000000000L + nanosInSecond, logical))
+    } catch { case _: Exception => None }
+  }
+
+  /** Column variant of [[parseResolvedFilename]] for streams of marker file
+    * names: returns struct(nanos, logical) or null.
+    */
+  def resolvedFilenameCol(name: Column): Column = {
+    val digits = regexp_extract(name, "(\\d{33})\\.RESOLVED", 1)
+    val secs = unix_timestamp(
+      to_timestamp(substring(digits, 1, 14), "yyyyMMddHHmmss")
+    )
+    when(
+      length(digits) === 33,
+      struct(
+        (secs * 1000000000L + substring(digits, 15, 9).cast(LongType))
+          .as("nanos"),
+        substring(digits, 24, 10).cast(IntegerType).as("logical")
+      )
+    ).otherwise(lit(null))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.loop
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.applyops.{ApplyPlanner, TableSpec}
+import graft.feed.{Changefeed, Envelopes}
+import graft.model.Hlc
+import graft.stage.StagedStore
+import graft.table.SnapshotTable
+
+/** One table's wiring inside a multi-table loop. */
+final case class TableTarget(
+    spec: TableSpec,
+    table: SnapshotTable,
+    stage: StagedStore
+)
+
+/** Multi-table webhook loop: one streaming query consuming webhook-envelope
+  * bodies whose payload elements are routed by `topic` to different target
+  * tables, applied in FK-dependency order.
+  *
+  * Mirrors the reference's fan-out path: webhook bodies stage all tables in
+  * one transaction (reference: internal/source/cdc/webhook.go:117-164), the
+  * resolver drains tables level-by-level per `SchemaData.Order`
+  * (resolver.go:375-386). Here one `foreachBatch` is the transaction; FK
+  * levels are applied as sequential merges (parallel within a level would
+  * also be safe — tables in a level are independent — kept sequential for
+  * deterministic commit versions).
+  *
+  * Each table keeps its own staging store and snapshot table; the fence is
+  * global (webhook resolved markers cover every topic, like the reference's
+  * per-schema resolved timestamps).
+  */
+final class MultiTableLoop(
+    spark: SparkSession,
+    val feedDir: String,
+    val targets: Map[String, TableTarget],
+    val dependsOn: Map[String, Set[String]],
+    val checkpointDir: String,
+    val saltBuckets: Int = 32,
+    val maxFilesPerTrigger: Int = 8
+) {
+  private val levelOrder: Seq[Seq[String]] =
+    FkLevels.levels(targets.keys.toSeq.sorted, dependsOn)
+
+  def committedFence: Hlc =
+    targets.values
+      .map(t =>
+        t.table.log
+          .latest()
+          .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+          .getOrElse(Hlc.Zero)
+      )
+      .minOption
+      .getOrElse(Hlc.Zero)
+
+  def processBatch(lines: DataFrame, batchId: Long): Unit = {
+    val parsed = Envelopes.parseWebhookLines(lines)
+    val muts = parsed.filter(!col(Changefeed.RESOLVED))
+
+    // stage every table's slice (idempotent per batch)
+    targets.foreach { case (topic, t) =>
+      t.stage.append(
+        muts
+          .filter(col("topic") === topic)
+          .select("key", "data", "nanos", "logical", "src_file"),
+        batchId
+      )
+    }
+
+    val resolvedRows = Envelopes
+      .parseWebhookLines(lines.filter(col("value").contains("\"resolved\"")))
+      .filter(col(Changefeed.RESOLVED))
+      .agg(max(struct(col("nanos"), col("logical"))).as("m"))
+      .collect()
+    val newResolved: Option[Hlc] =
+      if (resolvedRows.isEmpty || resolvedRows(0).isNullAt(0)) None
+      else {
+        val r = resolvedRows(0).getStruct(0)
+        Some(Hlc(r.getLong(0), r.getInt(1)))
+      }
+
+    newResolved.foreach { target =>
+      // FK order: parents before children, level by level
+      levelOrder.foreach { level =>
+        level.foreach { topic =>
+          val t = targets(topic)
+          val fence = t.table.log
+            .latest()
+            .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+            .getOrElse(Hlc.Zero)
+          if (target > fence) {
+            val window = t.stage.selectWindow(fence, target)
+            val planned = ApplyPlanner.plan(spark, t.spec, window, saltBuckets)
+            t.table.merge(
+              planned.batch,
+              t.spec.pkCols,
+              idempotenceKey = s"fence-${target.format}",
+              resolved = target,
+              lineage = Seq(s"batch=$batchId", s"topic=$topic")
+            )
+            t.stage.retire(target)
+          }
+        }
+      }
+    }
+  }
+
+  def start(trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(feedDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+
+  def runAvailableNow(): Unit = {
+    val q = start(Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+}

@@ -102,6 +102,37 @@ final class SnapshotTable(
   def payloadSchema(): Option[StructType] =
     log.latest().map(m => StructType.fromDDL(m.schemaDdl))
 
+  /** Resolved-timestamp ledger view: one row per commit with its fence and
+    * applied-mutation counters — the queryable analog of the reference's
+    * resolved ledger + memo (internal/source/cdc/resolver.go:43-52,
+    * internal/staging/memo/memo.go:40-47). Tiny (metadata-scale).
+    */
+  def ledger(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    log
+      .all()
+      .map(m =>
+        (
+          m.version,
+          m.idempotenceKey,
+          m.resolvedNanos,
+          m.resolvedLogical,
+          m.committedAtMs,
+          m.metrics.getOrElse("rows_written", 0L),
+          m.metrics.getOrElse("tombstones", 0L)
+        )
+      )
+      .toDF(
+        "version",
+        "idempotence_key",
+        "resolved_nanos",
+        "resolved_logical",
+        "committed_at_ms",
+        "rows_written",
+        "tombstones"
+      )
+  }
+
   // ---------------------------------------------------------------- merging
 
   /** Merge a change batch into the table and commit a new snapshot version.
