@@ -78,7 +78,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "8").toInt
     val replayEvents =
-      sys.env.getOrElse("SPARK_GRAFT_REPLAY_EVENTS", "200000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_EVENTS", "1000000").toLong
 
     // ---- phase 1: headline operator queries at local[cpus] --------------
     val headline = Seq(
@@ -127,8 +127,15 @@ object Bench {
       eventsPerFile = math.max(1000L, replayEvents / 32),
       disorderBlock = 1000L
     )
+    // small warmup feed: JIT-compiles the whole replay path in this JVM so
+    // neither timed run pays one-time compilation, and neither benefits
+    // from the other's warm-up asymmetrically
+    val warmSpec = spec.copy(numEvents = 20000L, numKeys = 5000L,
+      resolvedWindows = 2, eventsPerFile = 5000L)
+    graft.feed.Generator.writeFeed(spark, warmSpec, s"$benchRoot/warmfeed", parallelism = cpus)
     graft.feed.Generator.writeFeed(spark, spec, feedDir, parallelism = cpus)
     spark.stop()
+    replayAt(scaleBase * 4, s"$benchRoot/warmfeed", s"$benchRoot/warmup", 20000L)
 
     val epsBase = replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
     val eps4x = replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}", replayEvents)

@@ -51,12 +51,19 @@ object ApplyPlanner {
   private def srcName(spec: TableSpec, c: String): String =
     spec.config.sourceNames.getOrElse(c, c)
 
+  /** @param dedup when false, skip the pre-merge LWW dedup (2 shuffles):
+    *   the snapshot merge's per-key max_by reduction subsumes it. Leave true
+    *   when the batch feeds a CAS gate (CAS must see one candidate per key,
+    *   like the reference's dedup-before-apply, apply.go:148-151) or when
+    *   the batch is consumed by anything other than SnapshotTable.merge.
+    */
   def plan(
       spark: SparkSession,
       spec: TableSpec,
       window: DataFrame,
       saltBuckets: Int = 64,
-      now: Option[java.sql.Timestamp] = None
+      now: Option[java.sql.Timestamp] = None,
+      dedup: Boolean = true
   ): PlanResult = {
     val cfg = spec.config
     val rawMap = from_json(col("data"), MapType(StringType, StringType))
@@ -174,12 +181,15 @@ object ApplyPlanner {
     }
 
     // ---- salted last-writer-wins dedup per key --------------------------
-    val deduped = LastWriterWins.dedupSalted(
-      out,
-      spec.pkCols,
-      Seq(SnapshotTable.NANOS, SnapshotTable.LOGICAL),
-      saltBuckets
-    )
+    val deduped =
+      if (!dedup) out
+      else
+        LastWriterWins.dedupSalted(
+          out,
+          spec.pkCols,
+          Seq(SnapshotTable.NANOS, SnapshotTable.LOGICAL),
+          saltBuckets
+        )
 
     val finalSchema =
       if (cfg.extras.isEmpty) evolved

@@ -86,7 +86,9 @@ final class ReplayLoop(
 
     if (immediate) {
       val spec = currentSpec
-      val planned = ApplyPlanner.plan(spark, spec, muts, saltBuckets)
+      val planned = ApplyPlanner.plan(
+        spark, spec, muts, saltBuckets,
+        dedup = spec.config.casColumns.nonEmpty)
       val gated = casGate(planned.batch, spec)
       table.merge(
         batch = gated,
@@ -117,7 +119,12 @@ final class ReplayLoop(
     newResolved.filter(_ > fence).foreach { target =>
       val window = stage.selectWindow(fence, target)
       val spec = currentSpec
-      val planned = ApplyPlanner.plan(spark, spec, window, saltBuckets)
+      // pre-dedup only when a CAS gate needs one candidate per key; the
+      // merge's per-key max_by reduction is the LWW otherwise (saves two
+      // shuffles of the window)
+      val planned = ApplyPlanner.plan(
+        spark, spec, window, saltBuckets,
+        dedup = spec.config.casColumns.nonEmpty)
       val gated = casGate(planned.batch, spec)
       table.merge(
         batch = gated,

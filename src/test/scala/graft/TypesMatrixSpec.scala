@@ -1,0 +1,128 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.applyops.{ApplyPlanner, TableSpec}
+import graft.model.Hlc
+import graft.table.SnapshotTable
+
+/** All-data-types apply matrix (FIXTURES.md F5), mirroring the reference's
+  * per-type round-trip oracle (reference: internal/target/apply/
+  * apply_test.go:206-410): each type column applied through the planner +
+  * snapshot merge, with a NULL twin, then checked typed-exactly.
+  */
+class TypesMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(
+    Seq(
+      StructField("pk", IntegerType),
+      StructField("c_str_array", ArrayType(StringType)),
+      StructField("c_int_array", ArrayType(LongType)),
+      StructField("c_bool_array", ArrayType(BooleanType)),
+      StructField("c_bool", BooleanType),
+      StructField("c_date", DateType),
+      StructField("c_decimal", DecimalType(10, 2)),
+      StructField("c_float", DoubleType),
+      StructField("c_int", LongType),
+      StructField("c_json", StringType), // nested JSON preserved as text
+      StructField("c_str", StringType),
+      StructField("c_ts", TimestampType),
+      StructField("c_uuid", StringType)
+    )
+  )
+
+  // the reference's escape-stress string: a1\b/2?c"3
+  private val stress = "a1\\b/2?c\"3"
+
+  private def payloadFull: String = {
+    val m = new ObjectMapper()
+    val o = m.createObjectNode()
+    o.put("pk", 1)
+    o.putArray("c_str_array").add("x").add("y")
+    o.putArray("c_int_array").add(1L).add(2L).add(3L)
+    o.putArray("c_bool_array").add(true).add(false)
+    o.put("c_bool", true)
+    o.put("c_date", "2024-02-29")
+    o.putRawValue(
+      "c_decimal",
+      new com.fasterxml.jackson.databind.util.RawValue("4E+2")
+    )
+    o.put("c_float", 1.5d)
+    o.put("c_int", 9007199254740993L) // > 2^53: float routing would corrupt
+    val nested = m.createObjectNode()
+    nested.putObject("a").putArray("b").add(1).add(2)
+    o.set[com.fasterxml.jackson.databind.node.ObjectNode]("c_json", nested)
+    o.put("c_str", stress)
+    o.put("c_ts", "2024-01-01T12:34:56.789Z")
+    o.put("c_uuid", "76ceb652-b475-4c64-b45c-391c79983b0e")
+    m.writeValueAsString(o)
+  }
+
+  test("every representable type survives apply + merge round-trip, with NULL twin") {
+    val window = Seq(
+      ("[1]", payloadFull, 10L, 0, "f"),
+      ("[2]", """{"pk":2}""", 11L, 0, "f")
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+
+    val spec = TableSpec(schema, Seq("pk"), allowEvolution = false)
+    val planned = ApplyPlanner.plan(spark, spec, window, 4)
+    val t = new SnapshotTable(spark, tmpDir("types"), numBuckets = 2)
+    t.merge(planned.batch, Seq("pk"), "k1", Hlc(11, 0))
+    val out = t.read().orderBy("pk")
+    val rows = out.collect()
+    assert(rows.length == 2)
+
+    val r1 = rows(0)
+    assert(r1.getSeq[String](r1.fieldIndex("c_str_array")).toList == List("x", "y"))
+    assert(r1.getSeq[Long](r1.fieldIndex("c_int_array")).toList == List(1L, 2L, 3L))
+    assert(r1.getSeq[Boolean](r1.fieldIndex("c_bool_array")).toList == List(true, false))
+    assert(r1.getAs[Boolean]("c_bool"))
+    assert(r1.getAs[java.sql.Date]("c_date").toString == "2024-02-29")
+    // decimal exponent normalization: 4E+2 -> 400.00 (exponent_fix analog)
+    assert(
+      r1.getAs[java.math.BigDecimal]("c_decimal")
+        .compareTo(new java.math.BigDecimal("400.00")) == 0
+    )
+    assert(r1.getAs[Double]("c_float") == 1.5d)
+    assert(r1.getAs[Long]("c_int") == 9007199254740993L)
+    // nested JSON kept as its raw text
+    val cj = r1.getAs[String]("c_json")
+    assert(cj.contains(""""a"""") && cj.contains("[1,2]"))
+    assert(r1.getAs[String]("c_str") == stress)
+    assert(
+      r1.getAs[java.sql.Timestamp]("c_ts").toInstant.toString
+        == "2024-01-01T12:34:56.789Z"
+    )
+    assert(r1.getAs[String]("c_uuid") == "76ceb652-b475-4c64-b45c-391c79983b0e")
+
+    // NULL twin: every non-PK column null, none dropped, none defaulted
+    val r2 = rows(1)
+    assert(r2.getAs[Int]("pk") == 2)
+    schema.fieldNames.filterNot(_ == "pk").foreach { f =>
+      assert(r2.isNullAt(r2.fieldIndex(f)), s"expected null $f")
+    }
+  }
+
+  test("decimal exponent forms normalize exactly (4e+2 -> 400, 4e-2 -> 0.04)") {
+    val schema2 = StructType(
+      Seq(StructField("pk", IntegerType), StructField("d", DecimalType(10, 4)))
+    )
+    val window = Seq(
+      ("[1]", """{"pk":1,"d":4e+2}""", 1L, 0, "f"),
+      ("[2]", """{"pk":2,"d":4e-2}""", 2L, 0, "f"),
+      ("[3]", """{"pk":3,"d":4.00E+2}""", 3L, 0, "f")
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner
+      .plan(spark, TableSpec(schema2, Seq("pk"), allowEvolution = false), window, 2)
+    val got = planned.batch
+      .select($"pk".cast("int"), $"d".cast("string"))
+      .as[(Int, String)]
+      .collect()
+      .toMap
+    assert(got(1) == "400.0000")
+    assert(got(2) == "0.0400")
+    assert(got(3) == "400.0000")
+  }
+}
