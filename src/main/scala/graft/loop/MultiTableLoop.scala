@@ -55,6 +55,25 @@ final class MultiTableLoop(
       .minOption
       .getOrElse(Hlc.Zero)
 
+  /** Topics that still hold staged data in partitions beyond their committed
+    * fence — the startup-discovery analog of the reference's pending-schema
+    * scan (reference: internal/source/cdc/resolver.go:647-676). Metadata
+    * only: staging directory listing vs the commit-log fence.
+    */
+  def pendingTopics(): Seq[String] =
+    targets.toSeq
+      .filter { case (_, t) =>
+        val fence = t.table.log
+          .latest()
+          .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+          .getOrElse(Hlc.Zero)
+        t.stage
+          .maxStagedBucket()
+          .exists(_ > t.stage.bucketOfNanos(fence.nanos))
+      }
+      .map(_._1)
+      .sorted
+
   def processBatch(lines: DataFrame, batchId: Long): Unit = {
     val parsed = Envelopes.parseWebhookLines(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))

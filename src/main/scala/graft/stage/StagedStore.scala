@@ -100,6 +100,26 @@ final class StagedStore(
   def transactionTimes(from: Hlc, to: Hlc): DataFrame =
     selectWindow(from, to).select("nanos", "logical").distinct()
 
+  /** Highest staging partition bucket currently on disk (directory listing
+    * only — no data read). None when nothing is staged.
+    */
+  def maxStagedBucket(): Option[Long] = {
+    val dir = Paths.get(dataDir)
+    if (!Files.exists(dir)) return None
+    val it = Files.list(dir).iterator()
+    var max = Option.empty[Long]
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith(s"$TS_BUCKET=")) {
+        val b = name.stripPrefix(s"$TS_BUCKET=").toLong
+        if (max.forall(b > _)) max = Some(b)
+      }
+    }
+    max
+  }
+
+  def bucketOfNanos(nanos: Long): Long = bucketOf(nanos)
+
   /** Drop whole staging partitions whose every mutation is at or below the
     * committed fence. Metadata-only (directory removal); partial buckets are
     * kept — their applied rows are screened out by the fence on read.

@@ -70,5 +70,8 @@ class MultiTableLoopSpec extends SparkSpec {
     val pc = targets("parent").table.log.latest().get.committedAtMs
     val cc = targets("child").table.log.latest().get.committedAtMs
     assert(pc <= cc)
+
+    // nothing staged beyond the fence => no pending topics (S12 analog)
+    assert(loop.pendingTopics().isEmpty)
   }
 }
