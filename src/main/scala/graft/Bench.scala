@@ -28,13 +28,16 @@ object Bench {
     s
   }
 
-  /** Replay `numEvents` at a parallelism level; returns events/sec. */
+  /** Replay `numEvents` at a parallelism level; returns
+    * (events/sec, final-state fingerprint) — the fingerprint must be
+    * identical across parallelism levels (same input => same state).
+    */
   private def replayAt(
       cores: Int,
       feedDir: String,
       workDir: String,
       numEvents: Long
-  ): Double = {
+  ): (Double, Long) = {
     import org.apache.spark.sql.types._
     import graft.applyops.TableSpec
     import graft.loop.ReplayLoop
@@ -69,7 +72,15 @@ object Bench {
       )
       val t0 = System.nanoTime()
       loop.runAvailableNow()
-      numEvents / ((System.nanoTime() - t0) / 1e9)
+      val eps = numEvents / ((System.nanoTime() - t0) / 1e9)
+      val fp = table
+        .read()
+        .agg(
+          org.apache.spark.sql.functions
+            .expr("bit_xor(xxhash64(repo, path, commit, sha2(content, 256)))")
+        )
+        .collect()(0)
+      (eps, if (fp.isNullAt(0)) 0L else fp.getLong(0))
     } finally spark.stop()
   }
 
@@ -137,16 +148,19 @@ object Bench {
     spark.stop()
     replayAt(scaleBase * 4, s"$benchRoot/warmfeed", s"$benchRoot/warmup", 20000L)
 
-    val epsBase = replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
-    val eps4x = replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}", replayEvents)
+    val (epsBase, fpBase) =
+      replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
+    val (eps4x, fp4x) =
+      replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}", replayEvents)
     val efficiency = (eps4x / epsBase) / 4.0
+    val stateMatch = fpBase == fp4x
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"}}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch}}"""
     )
   }
 }

@@ -47,6 +47,12 @@ object Changefeed {
     val resolved = get_json_object(col("value"), "$.resolved")
     val updated = get_json_object(col("value"), "$.updated")
     val stamp = coalesce(resolved, updated)
+    // a pre-captured file column survives caching; input_file_name() does
+    // not (it evaluates to "" once the scan is behind a cache node)
+    val srcCol =
+      if (lines.columns.contains(SRC_FILE)) col(SRC_FILE)
+      else if (withFile) input_file_name()
+      else lit("")
     val parsed = lines
       .select(
         get_json_object(col("value"), "$.key").as(KEY),
@@ -54,7 +60,7 @@ object Changefeed {
         hlcNanos(stamp).as(NANOS),
         hlcLogical(stamp).as(LOGICAL),
         resolved.isNotNull.as(RESOLVED),
-        (if (withFile) input_file_name() else lit("")).as(SRC_FILE)
+        srcCol.as(SRC_FILE)
       )
       .filter(col(NANOS).isNotNull)
     parsed

@@ -246,5 +246,30 @@ object Generator {
       .mode("overwrite")
       .partitionBy("chunk")
       .text(dir)
+    // the file streaming source orders by modification time; parallel
+    // writes land with arbitrary mtimes, which would reorder arrival and
+    // break the resolved protocol (markers before their mutations). Stamp
+    // strictly increasing mtimes in chunk order. (The engine tolerates
+    // reordering anyway — window lower bound Zero — but a protocol-correct
+    // feed is the realistic baseline.)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val chunks = java.nio.file.Files
+      .list(root)
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("chunk="))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+    val base = System.currentTimeMillis() - chunks.size * 2000L
+    chunks.zipWithIndex.foreach { case (chunkDir, i) =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
+      java.nio.file.Files
+        .list(chunkDir)
+        .iterator()
+        .asScala
+        .foreach(f => java.nio.file.Files.setLastModifiedTime(f, t))
+      java.nio.file.Files.setLastModifiedTime(chunkDir, t)
+    }
   }
 }

@@ -110,7 +110,9 @@ final class MultiTableLoop(
             .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
             .getOrElse(Hlc.Zero)
           if (target > fence) {
-            val window = t.stage.selectWindow(fence, target)
+            // lower bound Zero: late re-deliveries below the fence still
+            // apply (idempotent vs newer table rows); see ReplayLoop
+            val window = t.stage.selectWindow(Hlc.Zero, target)
             val planned = ApplyPlanner.plan(spark, t.spec, window, saltBuckets)
             t.table.merge(
               planned.batch,

@@ -75,10 +75,31 @@ final class ReplayLoop(
   def committedFence: Hlc =
     table.log.latest().map(m => Hlc(m.resolvedNanos, m.resolvedLogical)).getOrElse(Hlc.Zero)
 
+  @inline private def timed[T](what: String, batchId: Long)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    // driver-side phase metric (a few lines per micro-batch); stdout so it
+    // survives setLogLevel(WARN) — the lightweight analog of the
+    // reference's stage/apply Prometheus timers (apply/metrics.go:27-48)
+    println(s"[graft-loop] batch=$batchId $what ${(System.nanoTime() - t0) / 1000000} ms")
+    r
+  }
+
   /** Process one micro-batch of raw ndjson lines. Public for batch-mode
     * replay and tests; the streaming query calls this via foreachBatch.
     */
-  def processBatch(lines: DataFrame, batchId: Long): Unit = {
+  def processBatch(linesRaw: DataFrame, batchId: Long): Unit = {
+    // one batch feeds several passes (resolved scan, staging append,
+    // lineage); cache the raw lines instead of re-reading the files.
+    // input_file_name() must be captured BEFORE the cache node.
+    val lines = linesRaw
+      .select(col("value"), input_file_name().as(Changefeed.SRC_FILE))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try processBatchCached(lines, batchId)
+    finally lines.unpersist()
+  }
+
+  private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {
     val parsed = Changefeed.parseLines(lines)
     val muts = parsed
       .filter(!col(Changefeed.RESOLVED))
@@ -113,26 +134,37 @@ final class ReplayLoop(
         Some(Hlc(r.getLong(0), r.getInt(1)))
       }
 
-    stage.append(muts, batchId)
+    timed("stage-append", batchId) { stage.append(muts, batchId) }
 
     val fence = committedFence
     newResolved.filter(_ > fence).foreach { target =>
-      val window = stage.selectWindow(fence, target)
+      // window lower bound is Zero, NOT the previous fence: a mutation
+      // below an already-committed fence can still arrive late when the
+      // transport reorders deliveries (e.g. the file source orders by
+      // mtime). Already-applied staged rows re-merge as no-ops (the table
+      // row carries >= ts), and retirement keeps the re-read bounded to
+      // the un-retired tail, so correctness never depends on delivery
+      // order — only visibility latency does.
+      val window = stage.selectWindow(Hlc.Zero, target)
       val spec = currentSpec
       // pre-dedup only when a CAS gate needs one candidate per key; the
       // merge's per-key max_by reduction is the LWW otherwise (saves two
       // shuffles of the window)
-      val planned = ApplyPlanner.plan(
-        spark, spec, window, saltBuckets,
-        dedup = spec.config.casColumns.nonEmpty)
+      val planned = timed("plan", batchId) {
+        ApplyPlanner.plan(
+          spark, spec, window, saltBuckets,
+          dedup = spec.config.casColumns.nonEmpty)
+      }
       val gated = casGate(planned.batch, spec)
-      table.merge(
-        batch = gated,
-        pkCols = spec.pkCols,
-        idempotenceKey = s"fence-${target.format}",
-        resolved = target,
-        lineage = lineageOf(lines, batchId)
-      )
+      timed(s"merge fence=${target.format}", batchId) {
+        table.merge(
+          batch = gated,
+          pkCols = spec.pkCols,
+          idempotenceKey = s"fence-${target.format}",
+          resolved = target,
+          lineage = lineageOf(lines, batchId)
+        )
+      }
       stage.retire(target)
     }
   }
@@ -150,7 +182,7 @@ final class ReplayLoop(
   private def lineageOf(lines: DataFrame, batchId: Long): Seq[String] = {
     // distinct source files of this batch — cheap: file-name column only
     val files = lines
-      .select(input_file_name().as("f"))
+      .select(col(Changefeed.SRC_FILE).as("f"))
       .distinct()
       .collect()
       .map(_.getString(0))

@@ -224,7 +224,24 @@ final class SnapshotTable(
     val version = prev.map(_.version + 1).getOrElse(1L)
     val dataRel = f"data/v$version%08d"
     val dataDir = s"$root/$dataRel"
+    // metrics ride the write itself (Observation): no second scan job.
+    // per-bucket counts = one sum(case) pair per touched bucket — the
+    // north rule's per-partition applied-mutation metrics
+    val touchedSorted = touched.toSeq.sorted
+    val obs = org.apache.spark.sql.Observation(s"merge-v$version")
+    val metricExprs: Seq[Column] =
+      Seq(
+        count(lit(1)).as("rows"),
+        sum(col(DELETED).cast(LongType)).as("tombstones")
+      ) ++ touchedSorted.flatMap { b =>
+        Seq(
+          sum(when(col(BUCKET) === b, 1L).otherwise(0L)).as(s"rows_$b"),
+          sum(when(col(BUCKET) === b && col(DELETED), 1L).otherwise(0L))
+            .as(s"tomb_$b")
+        )
+      }
     winners
+      .observe(obs, metricExprs.head, metricExprs.tail: _*)
       .withColumn("__bp", col(BUCKET))
       .repartition(col(BUCKET))
       .write
@@ -232,19 +249,12 @@ final class SnapshotTable(
       .partitionBy("__bp")
       .parquet(dataDir)
 
-    // metrics from the written files: column pruning makes this a cheap
-    // metadata-ish scan of just (__bucket, __deleted)
-    val written = spark.read
-      .schema(target.add("__bp", IntegerType))
-      .parquet(dataDir)
-    val perBucket = written
-      .groupBy(col(BUCKET))
-      .agg(
-        count(lit(1)).as("rows"),
-        sum(col(DELETED).cast(LongType)).as("tombstones")
-      )
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val m = obs.get
+    def asLong(k: String): Long =
+      m.get(k).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    val perBucket: Seq[(Int, Long, Long)] = touchedSorted
+      .map(b => (b, asLong(s"rows_$b"), asLong(s"tomb_$b")))
+      .filter(_._2 > 0) // buckets emptied by GC write no files
     bucketed.unpersist()
 
     val newBuckets: Map[String, String] =
