@@ -145,27 +145,35 @@ final class ReplayLoop(
       // row carries >= ts), and retirement keeps the re-read bounded to
       // the un-retired tail, so correctness never depends on delivery
       // order — only visibility latency does.
-      val window = stage.selectWindow(Hlc.Zero, target)
-      val spec = currentSpec
-      // pre-dedup only when a CAS gate needs one candidate per key; the
-      // merge's per-key max_by reduction is the LWW otherwise (saves two
-      // shuffles of the window)
-      val planned = timed("plan", batchId) {
-        ApplyPlanner.plan(
-          spark, spec, window, saltBuckets,
-          dedup = spec.config.casColumns.nonEmpty)
-      }
-      val gated = casGate(planned.batch, spec)
-      timed(s"merge fence=${target.format}", batchId) {
-        table.merge(
-          batch = gated,
-          pkCols = spec.pkCols,
-          idempotenceKey = s"fence-${target.format}",
-          resolved = target,
-          lineage = lineageOf(lines, batchId)
-        )
-      }
-      stage.retire(target)
+      //
+      // raw (non-deduplicated) read: exact duplicates collapse in the
+      // merge's per-key max_by anyway, saving a shuffle. Persisted because
+      // the planner's drift summary and the merge both consume it.
+      val window = stage
+        .selectWindowRaw(Hlc.Zero, target)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val spec = currentSpec
+        // pre-dedup only when a CAS gate needs one candidate per key; the
+        // merge's per-key max_by reduction is the LWW otherwise (saves two
+        // shuffles of the window)
+        val planned = timed("plan", batchId) {
+          ApplyPlanner.plan(
+            spark, spec, window, saltBuckets,
+            dedup = spec.config.casColumns.nonEmpty)
+        }
+        val gated = casGate(planned.batch, spec)
+        timed(s"merge fence=${target.format}", batchId) {
+          table.merge(
+            batch = gated,
+            pkCols = spec.pkCols,
+            idempotenceKey = s"fence-${target.format}",
+            resolved = target,
+            lineage = lineageOf(lines, batchId)
+          )
+        }
+        stage.retire(target)
+      } finally window.unpersist()
     }
   }
 

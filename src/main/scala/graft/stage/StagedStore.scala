@@ -74,25 +74,33 @@ final class StagedStore(
   def readAll(): DataFrame =
     readRaw().dropDuplicates("nanos", "logical", "key")
 
-  /** Staged mutations with `from < ts <= to` (HLC order), deduplicated.
-    * The `ts_bucket` range predicate prunes partitions; the `nanos` range is
-    * pushed to the parquet scan; the exact HLC tuple bounds are applied
-    * post-scan.
+  /** [[selectWindow]] without the `(nanos, logical, key)` dedup shuffle:
+    * duplicate deliveries are byte-identical by protocol, and the snapshot
+    * merge's per-key max_by keeps exactly one of any exact-tie group — so
+    * the merge path can skip the dedup entirely. Use [[selectWindow]] when
+    * consumers need unique rows.
     */
-  def selectWindow(from: Hlc, to: Hlc): DataFrame = {
+  def selectWindowRaw(from: Hlc, to: Hlc): DataFrame = {
     val ts = struct(col("nanos"), col("logical"))
     val lo = struct(lit(from.nanos), lit(from.logical))
     val hi = struct(lit(to.nanos), lit(to.logical))
-    // filter BEFORE the dedup aggregate so partition pruning and parquet
-    // predicate pushdown see the raw scan
     readRaw()
       .filter(
         col(TS_BUCKET).between(bucketOf(from.nanos), bucketOf(to.nanos)) &&
           col("nanos").between(from.nanos, to.nanos) &&
           ts > lo && ts <= hi
       )
-      .dropDuplicates("nanos", "logical", "key")
   }
+
+  /** Staged mutations with `from < ts <= to` (HLC order), deduplicated.
+    * The `ts_bucket` range predicate prunes partitions; the `nanos` range is
+    * pushed to the parquet scan; the exact HLC tuple bounds are applied
+    * post-scan.
+    */
+  def selectWindow(from: Hlc, to: Hlc): DataFrame =
+    // filter (selectWindowRaw) BEFORE the dedup aggregate so partition
+    // pruning and parquet predicate pushdown see the raw scan
+    selectWindowRaw(from, to).dropDuplicates("nanos", "logical", "key")
 
   /** Distinct commit timestamps present in staging within the window —
     * the reference's TransactionTimes scan (stage.go:126-164).
