@@ -47,6 +47,10 @@ final class StagedStore(
     if (Files.exists(marker)) return false
     mutations
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
+      // one shuffle so each ts bucket lands as O(1) files per batch instead
+      // of (tasks x buckets) small files — small-file churn dominates both
+      // the append and every subsequent window scan at scale
+      .repartition(col(TS_BUCKET))
       .write
       .mode("append")
       .partitionBy(TS_BUCKET)

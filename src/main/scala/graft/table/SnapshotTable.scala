@@ -224,24 +224,17 @@ final class SnapshotTable(
     val version = prev.map(_.version + 1).getOrElse(1L)
     val dataRel = f"data/v$version%08d"
     val dataDir = s"$root/$dataRel"
-    // metrics ride the write itself (Observation): no second scan job.
-    // per-bucket counts = one sum(case) pair per touched bucket — the
-    // north rule's per-partition applied-mutation metrics
-    val touchedSorted = touched.toSeq.sorted
+    // total metrics ride the write itself (Observation, 2 aggregates — a
+    // wide per-bucket observe would janino-compile a pathological method);
+    // per-bucket row counts come from the parquet FOOTERS of the files just
+    // written: driver-side metadata reads, no extra Spark job, exact.
     val obs = org.apache.spark.sql.Observation(s"merge-v$version")
-    val metricExprs: Seq[Column] =
-      Seq(
+    winners
+      .observe(
+        obs,
         count(lit(1)).as("rows"),
         sum(col(DELETED).cast(LongType)).as("tombstones")
-      ) ++ touchedSorted.flatMap { b =>
-        Seq(
-          sum(when(col(BUCKET) === b, 1L).otherwise(0L)).as(s"rows_$b"),
-          sum(when(col(BUCKET) === b && col(DELETED), 1L).otherwise(0L))
-            .as(s"tomb_$b")
-        )
-      }
-    winners
-      .observe(obs, metricExprs.head, metricExprs.tail: _*)
+      )
       .withColumn("__bp", col(BUCKET))
       .repartition(col(BUCKET))
       .write
@@ -252,14 +245,12 @@ final class SnapshotTable(
     val m = obs.get
     def asLong(k: String): Long =
       m.get(k).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
-    val perBucket: Seq[(Int, Long, Long)] = touchedSorted
-      .map(b => (b, asLong(s"rows_$b"), asLong(s"tomb_$b")))
-      .filter(_._2 > 0) // buckets emptied by GC write no files
+    val perBucket: Seq[(Int, Long)] = footerCounts(dataDir)
     bucketed.unpersist()
 
     val newBuckets: Map[String, String] =
       prev.map(_.buckets).getOrElse(Map.empty) ++
-        perBucket.map { case (b, _, _) => b.toString -> s"$dataRel/__bp=$b" }.toMap
+        perBucket.map { case (b, _) => b.toString -> s"$dataRel/__bp=$b" }.toMap
     // a touched bucket may end up empty (all rows deleted + GC'd): drop it
     val emptied = touched.map(_.toString) --
       perBucket.map(_._1.toString).toSet
@@ -267,11 +258,11 @@ final class SnapshotTable(
 
     val newBucketSchemas: Map[String, String] =
       (prev.map(_.bucketSchemas).getOrElse(Map.empty) ++
-        perBucket.map { case (b, _, _) => b.toString -> evolved.toDDL }.toMap)
+        perBucket.map { case (b, _) => b.toString -> evolved.toDDL }.toMap)
         .filter { case (b, _) => finalBuckets.contains(b) }
 
-    val rowsWritten = perBucket.map(_._2).sum
-    val tombstones = perBucket.map(_._3).sum
+    val rowsWritten = asLong("rows")
+    val tombstones = asLong("tombstones")
 
     val meta = CommitMeta(
       version = version,
@@ -289,7 +280,7 @@ final class SnapshotTable(
         "touched_buckets" -> touched.size.toLong
       ),
       partitionMetrics =
-        perBucket.map { case (b, n, _) => b.toString -> n }.toMap,
+        perBucket.map { case (b, n) => b.toString -> n }.toMap,
       lineage = lineage,
       committedAtMs = System.currentTimeMillis()
     )
@@ -322,6 +313,42 @@ object SnapshotTable {
         StructField(BUCKET, IntegerType, nullable = true)
       )
     )
+
+  /** Per-bucket row counts of a freshly written snapshot version, from the
+    * parquet file footers (driver-side metadata reads — no Spark job).
+    */
+  def footerCounts(dataDir: String): Seq[(Int, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dataDir)
+    if (!java.nio.file.Files.exists(root)) return Nil
+    val conf = new org.apache.hadoop.conf.Configuration()
+    java.nio.file.Files
+      .list(root)
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("__bp="))
+      .map { bucketDir =>
+        val b = bucketDir.getFileName.toString.stripPrefix("__bp=").toInt
+        val rows = java.nio.file.Files
+          .list(bucketDir)
+          .iterator()
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.toUri),
+              conf
+            )
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount
+            finally r.close()
+          }
+          .sum
+        (b, rows)
+      }
+      .toSeq
+      .sortBy(_._1)
+  }
 
   /** Project/cast `df` to exactly `target`'s columns: missing columns become
     * typed nulls, present columns are cast (widening only, by construction).
