@@ -23,6 +23,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // smaller scan splits: KB-row feeds are a few hundred MB, and the
+      // default 128MB split gives too few read tasks to feed 32 cores
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -88,8 +91,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", "8").toInt
+    // long runs by design: this sandbox VM shows 10-20% hypervisor steal
+    // with occasional 30-40s stalls — short replays make the N-vs-4N ratio
+    // a lottery; at ~4M events the noise averages out on both levels
     val replayEvents =
-      sys.env.getOrElse("SPARK_GRAFT_REPLAY_EVENTS", "1000000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_EVENTS", "4000000").toLong
 
     // ---- phase 1: headline operator queries at local[cpus] --------------
     val headline = Seq(
@@ -136,7 +142,11 @@ object Bench {
       numKeys = math.max(1000L, replayEvents / 4),
       resolvedWindows = 4,
       eventsPerFile = math.max(1000L, replayEvents / 32),
-      disorderBlock = 1000L
+      disorderBlock = 1000L,
+      // KB-sized row images: source files are KBs, and tiny payloads make
+      // the sandbox replay fixed-cost-bound, hiding real scaling
+      contentMin = 512,
+      contentRange = 1536
     )
     // small warmup feed: JIT-compiles the whole replay path in this JVM so
     // neither timed run pays one-time compilation, and neither benefits
@@ -148,17 +158,10 @@ object Bench {
     spark.stop()
     replayAt(scaleBase * 4, s"$benchRoot/warmfeed", s"$benchRoot/warmup", 20000L)
 
-    // best-of-2 per level: this sandbox VM shows 10-20% hypervisor steal
-    // time, so single runs can eat a 30-40s external stall; the max of two
-    // runs is a much better estimate of the engine's actual throughput
-    def bestOf2(cores: Int, tag: String): (Double, Long) = {
-      val a = replayAt(cores, feedDir, s"$benchRoot/$tag-a", replayEvents)
-      val b = replayAt(cores, feedDir, s"$benchRoot/$tag-b", replayEvents)
-      require(a._2 == b._2, s"nondeterministic state at $cores cores!")
-      if (a._1 >= b._1) a else b
-    }
-    val (epsBase, fpBase) = bestOf2(scaleBase, s"run$scaleBase")
-    val (eps4x, fp4x) = bestOf2(scaleBase * 4, s"run${scaleBase * 4}")
+    val (epsBase, fpBase) =
+      replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
+    val (eps4x, fp4x) =
+      replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}", replayEvents)
     val efficiency = (eps4x / epsBase) / 4.0
     val stateMatch = fpBase == fp4x
 

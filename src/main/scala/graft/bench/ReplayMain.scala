@@ -37,16 +37,20 @@ object ReplayMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val contentMin = sys.env.getOrElse("SPARK_GRAFT_CONTENT_MIN", "512").toInt
     val spec = FeedSpec(
       seed = 42L,
       numEvents = numEvents,
       numKeys = numKeys,
       resolvedWindows = windows,
       eventsPerFile = math.max(1000L, numEvents / 32),
-      disorderBlock = 1000L
+      disorderBlock = 1000L,
+      contentMin = contentMin,
+      contentRange = contentMin * 3
     )
     require(numEvents % windows == 0 && (numEvents / windows) % 1000 == 0,
       "numEvents must be divisible by windows*1000")

@@ -39,7 +39,11 @@ object Envelopes {
       ArrayType(StringType)
     )
     val resolved = get_json_object(col("value"), "$.resolved")
-    val file = if (withFile) input_file_name() else lit("")
+    // pre-captured file column survives caching; input_file_name() doesn't
+    val file =
+      if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
+      else if (withFile) input_file_name()
+      else lit("")
 
     def stamped(df: DataFrame): DataFrame =
       df.select(

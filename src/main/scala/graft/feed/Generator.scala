@@ -49,7 +49,12 @@ object Generator {
       /** payloads in the last fraction of the feed gain a `stars` column */
       evolveFraction: Double = 0.0,
       baseNanos: Long = 1700000000000000000L,
-      nanosStep: Long = 1000000L
+      nanosStep: Long = 1000000L,
+      /** content length range: contentMin + hash % contentRange chars —
+        * benches use KB-sized values (realistic source-file row images)
+        */
+      contentMin: Int = 64,
+      contentRange: Int = 192
   ) {
     require(numEvents % resolvedWindows == 0, "windows must divide events")
     require(
@@ -124,7 +129,7 @@ object Generator {
   /** Deterministic content body for key k at event j. */
   def contentOf(spec: FeedSpec, k: Long, j: Long): String = {
     val h0 = mix64(spec.seed ^ mix64(k) ^ mix64(j ^ 0x5bd1e995L))
-    val len = 64 + (math.abs(h0) % 192).toInt
+    val len = spec.contentMin + (math.abs(h0) % spec.contentRange).toInt
     val sb = new StringBuilder(len + 48)
     sb.append(s"// ${repoOf(spec, k)}/${pathOf(k)} v$j\n")
     var h = h0

@@ -74,7 +74,17 @@ final class MultiTableLoop(
       .map(_._1)
       .sorted
 
-  def processBatch(lines: DataFrame, batchId: Long): Unit = {
+  def processBatch(linesRaw: DataFrame, batchId: Long): Unit = {
+    // each topic filters the same batch; parse once and cache the parsed
+    // rows (src_file captured pre-cache, as in ReplayLoop)
+    val lines = linesRaw
+      .select(col("value"), input_file_name().as(Changefeed.SRC_FILE))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try processBatchCached(lines, batchId)
+    finally lines.unpersist()
+  }
+
+  private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {
     val parsed = Envelopes.parseWebhookLines(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))
 

@@ -47,10 +47,11 @@ final class StagedStore(
     if (Files.exists(marker)) return false
     mutations
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
-      // one shuffle so each ts bucket lands as O(1) files per batch instead
-      // of (tasks x buckets) small files — small-file churn dominates both
-      // the append and every subsequent window scan at scale
-      .repartition(col(TS_BUCKET))
+      // one shuffle so each ts bucket lands as O(few) files per batch
+      // instead of (tasks x buckets) small files; the 4-way key salt keeps
+      // write parallelism at 4x the bucket count (a batch usually spans
+      // only a handful of ts buckets)
+      .repartition(col(TS_BUCKET), pmod(xxhash64(col("key")), lit(4)))
       .write
       .mode("append")
       .partitionBy(TS_BUCKET)

@@ -40,6 +40,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
   }
 
+  test("GraftExtensions injects the function set without error") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(e) // must not throw
+    // and the SQL registry path resolves the same kernels
+    val viaSql = spark
+      .sql("SELECT graft_simhash64('hello world') AS h, graft_minhash('hello world', 3, 4) AS m")
+      .collect()(0)
+    assert(viaSql.getLong(0) == graft.functions.SimHash64.simhash("hello world"))
+    assert(viaSql.getSeq[Long](1).length == 4)
+  }
+
   test("native minhash estimates shingle Jaccard") {
     import graft.functions.MinHashSig
     val a = "the quick brown fox jumps over the lazy dog and runs away fast"
