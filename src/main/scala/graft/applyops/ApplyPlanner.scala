@@ -57,50 +57,58 @@ object ApplyPlanner {
     *   like the reference's dedup-before-apply, apply.go:148-151) or when
     *   the batch is consumed by anything other than SnapshotTable.merge.
     */
+  /** @param observedFields when the caller already knows the window's
+    *   payload field set (the staging layer records it per batch while
+    *   writing — StagedStore.append's riding summary), pass it here and the
+    *   planner skips its own summary scan entirely. Key-arity / missing-PK
+    *   validation is then the stager's responsibility.
+    */
   def plan(
       spark: SparkSession,
       spec: TableSpec,
       window: DataFrame,
       saltBuckets: Int = 64,
       now: Option[java.sql.Timestamp] = None,
-      dedup: Boolean = true
+      dedup: Boolean = true,
+      observedFields: Option[Seq[String]] = None
   ): PlanResult = {
     val cfg = spec.config
     val keyArr = from_json(col("key"), ArrayType(StringType))
     val pkSrcNames = spec.pkCols.map(srcName(spec, _))
 
-    // ---- single summary pass: drift truth table -------------------------
-    // deliberately avoids materializing payload VALUES: json_object_keys
-    // walks the top-level keys without copying KB-sized contents, and the
-    // PK-presence probe is a per-column path extraction — on KB row images
-    // this is ~10x cheaper than a map<string,string> parse of every row
-    val missingPkCond = col("data").isNotNull &&
-      pkSrcNames
-        .map(n => get_json_object(col("data"), s"$$.$n").isNull)
-        .reduce(_ || _)
-    val summaryRow = window
-      .agg(
-        collect_set(size(keyArr)).as("arities"),
-        array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
-          .as("fields"),
-        max(when(missingPkCond, 1).otherwise(0)).as("missing_pk"),
-        count(lit(1)).as("n")
-      )
-      .collect()(0)
-    val arities = summaryRow.getSeq[Int](0)
-    val fields = summaryRow.getSeq[String](1)
-    val missingPk = !summaryRow.isNullAt(2) && summaryRow.getInt(2) == 1
-    val expect = spec.pkCols.size
-    arities.find(_ != expect).foreach { got =>
-      throw new SchemaDriftException(
-        s"the mutation key has $got values, expected $expect"
-      )
-    }
-    if (missingPk) {
-      throw new SchemaDriftException(
-        s"missing primary-key column in payload; expected all of " +
-          pkSrcNames.mkString("[", ", ", "]")
-      )
+    // ---- drift truth table ----------------------------------------------
+    // one summary pass, unless the field set was already collected while
+    // staging. Avoids materializing payload VALUES either way:
+    // json_object_keys walks the top-level keys without copying KB-sized
+    // contents; the PK probe is a per-column path extraction.
+    val fields: Seq[String] = observedFields.getOrElse {
+      val missingPkCond = col("data").isNotNull &&
+        pkSrcNames
+          .map(n => get_json_object(col("data"), s"$$.$n").isNull)
+          .reduce(_ || _)
+      val summaryRow = window
+        .agg(
+          collect_set(size(keyArr)).as("arities"),
+          array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
+            .as("fields"),
+          max(when(missingPkCond, 1).otherwise(0)).as("missing_pk")
+        )
+        .collect()(0)
+      val arities = summaryRow.getSeq[Int](0)
+      val missingPk = !summaryRow.isNullAt(2) && summaryRow.getInt(2) == 1
+      val expect = spec.pkCols.size
+      arities.find(_ != expect).foreach { got =>
+        throw new SchemaDriftException(
+          s"the mutation key has $got values, expected $expect"
+        )
+      }
+      if (missingPk) {
+        throw new SchemaDriftException(
+          s"missing primary-key column in payload; expected all of " +
+            pkSrcNames.mkString("[", ", ", "]")
+        )
+      }
+      summaryRow.getSeq[String](1)
     }
 
     val knownFields: Set[String] =
@@ -116,17 +124,19 @@ object ApplyPlanner {
         )
       }
       // evolve: infer the new columns' types from the payloads themselves
-      // (extra pass over just the data strings; drift windows are rare)
+      // (extra pass over just the data strings; drift windows are rare).
+      // A field the staging layer has seen but that is absent from THIS
+      // window (it only exists in rows beyond the fence) does NOT evolve
+      // yet — it will when its rows actually merge; evolving early would
+      // have to guess its type.
       import spark.implicits._
       val inferred = spark.read
         .json(window.select(col("data")).na.drop().as[String])
         .schema
-      val newFields = unknown.map { n =>
-        val t = inferred.fields
+      val newFields = unknown.flatMap { n =>
+        inferred.fields
           .find(_.name == n)
-          .map(_.dataType)
-          .getOrElse(StringType)
-        StructField(n, t, nullable = true)
+          .map(f => StructField(n, f.dataType, nullable = true))
       }
       evolved = SchemaEvolution.merge(
         spec.payloadSchema,

@@ -88,13 +88,17 @@ final class MultiTableLoop(
     val parsed = Envelopes.parseWebhookLines(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))
 
-    // stage every table's slice (idempotent per batch)
+    // stage every table's slice (idempotent per batch); the drift summary
+    // rides each write and lands in the batch markers
     targets.foreach { case (topic, t) =>
+      val pkSrc = t.spec.pkCols
+        .map(c => t.spec.config.sourceNames.getOrElse(c, c))
       t.stage.append(
         muts
           .filter(col("topic") === topic)
           .select("key", "data", "nanos", "logical", "src_file"),
-        batchId
+        batchId,
+        validatePk = Some((t.spec.pkCols.size, pkSrc))
       )
     }
 
@@ -123,7 +127,9 @@ final class MultiTableLoop(
             // lower bound Zero: late re-deliveries below the fence still
             // apply (idempotent vs newer table rows); see ReplayLoop
             val window = t.stage.selectWindow(Hlc.Zero, target)
-            val planned = ApplyPlanner.plan(spark, t.spec, window, saltBuckets)
+            val planned = ApplyPlanner.plan(
+              spark, t.spec, window, saltBuckets,
+              observedFields = Some(t.stage.observedFields().toSeq))
             t.table.merge(
               planned.batch,
               t.spec.pkCols,

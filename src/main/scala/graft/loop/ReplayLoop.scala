@@ -134,7 +134,14 @@ final class ReplayLoop(
         Some(Hlc(r.getLong(0), r.getInt(1)))
       }
 
-    timed("stage-append", batchId) { stage.append(muts, batchId) }
+    val specForStage = currentSpec
+    val pkSrc = specForStage.pkCols
+      .map(c => specForStage.config.sourceNames.getOrElse(c, c))
+    timed("stage-append", batchId) {
+      // drift summary (arity / field set / PK presence) rides this write;
+      // violations fail the batch here, fields land in the batch marker
+      stage.append(muts, batchId, validatePk = Some((specForStage.pkCols.size, pkSrc)))
+    }
 
     val fence = committedFence
     newResolved.filter(_ > fence).foreach { target =>
@@ -147,12 +154,11 @@ final class ReplayLoop(
       // order — only visibility latency does.
       //
       // raw (non-deduplicated) read: exact duplicates collapse in the
-      // merge's per-key max_by anyway, saving a shuffle. Persisted because
-      // the planner's drift summary and the merge both consume it.
-      val window = stage
-        .selectWindowRaw(Hlc.Zero, target)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      // merge's per-key max_by anyway, saving a shuffle. Not cached: with
+      // the staging-time summary, the window feeds exactly one consumer
+      // (the merge, which caches its own transformed batch).
+      val window = stage.selectWindowRaw(Hlc.Zero, target)
+      locally {
         val spec = currentSpec
         // pre-dedup only when a CAS gate needs one candidate per key; the
         // merge's per-key max_by reduction is the LWW otherwise (saves two
@@ -160,7 +166,9 @@ final class ReplayLoop(
         val planned = timed("plan", batchId) {
           ApplyPlanner.plan(
             spark, spec, window, saltBuckets,
-            dedup = spec.config.casColumns.nonEmpty)
+            dedup = spec.config.casColumns.nonEmpty,
+            // field set was collected while staging: no summary scan here
+            observedFields = Some(stage.observedFields().toSeq))
         }
         val gated = casGate(planned.batch, spec)
         timed(s"merge fence=${target.format}", batchId) {
@@ -173,7 +181,7 @@ final class ReplayLoop(
           )
         }
         stage.retire(target)
-      } finally window.unpersist()
+      }
     }
   }
 

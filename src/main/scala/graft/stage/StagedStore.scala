@@ -41,23 +41,98 @@ final class StagedStore(
     * `(key, data, nanos, logical, src_file)`. `batchId` makes replays cheap
     * no-ops (a marker is written after a successful append); a crash between
     * append and marker re-appends, which the read-side dedup absorbs.
+    *
+    * When `validatePk` is set, the drift summary — key arities, the distinct
+    * payload field set, PK-presence — rides the SAME scan that writes the
+    * staged files (Observation): no separate summary pass ever touches the
+    * data again. Violations (wrong key arity, missing PK) throw before the
+    * marker is written, so the batch fails exactly once and replays retry
+    * it; the field set is persisted in the marker for merge-time schema
+    * reconciliation (field sets only grow, so the union over markers is the
+    * window's field set).
     */
-  def append(mutations: DataFrame, batchId: Long): Boolean = {
+  def append(
+      mutations: DataFrame,
+      batchId: Long,
+      validatePk: Option[(Int, Seq[String])] = None
+  ): Boolean = {
     val marker = markerDir.resolve(s"$batchId")
     if (Files.exists(marker)) return false
-    mutations
+    val staged = mutations
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
       // one shuffle so each ts bucket lands as O(few) files per batch
       // instead of (tasks x buckets) small files; the 4-way key salt keeps
       // write parallelism at 4x the bucket count (a batch usually spans
       // only a handful of ts buckets)
       .repartition(col(TS_BUCKET), pmod(xxhash64(col("key")), lit(4)))
-      .write
-      .mode("append")
-      .partitionBy(TS_BUCKET)
-      .parquet(dataDir)
-    Files.createFile(marker)
+
+    validatePk match {
+      case None =>
+        staged.write.mode("append").partitionBy(TS_BUCKET).parquet(dataDir)
+        Files.writeString(marker, "{}")
+      case Some((pkArity, pkSrcNames)) =>
+        val missingPkCond = col("data").isNotNull &&
+          pkSrcNames
+            .map(n => get_json_object(col("data"), s"$$.$n").isNull)
+            .reduce(_ || _)
+        val obs = org.apache.spark.sql.Observation(s"stage-$batchId")
+        staged
+          .observe(
+            obs,
+            collect_set(size(from_json(col("key"), org.apache.spark.sql.types.ArrayType(StringType))))
+              .as("arities"),
+            array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
+              .as("fields"),
+            max(when(missingPkCond, 1).otherwise(0)).as("missing_pk")
+          )
+          .write
+          .mode("append")
+          .partitionBy(TS_BUCKET)
+          .parquet(dataDir)
+        val m = obs.get
+        val arities = m("arities").asInstanceOf[Seq[Int]]
+        val fields = m("fields").asInstanceOf[Seq[String]]
+        val missingPk =
+          Option(m("missing_pk")).exists(_.asInstanceOf[Number].intValue() == 1)
+        arities.find(_ != pkArity).foreach { got =>
+          throw new graft.model.SchemaDriftException(
+            s"the mutation key has $got values, expected $pkArity"
+          )
+        }
+        if (missingPk) {
+          throw new graft.model.SchemaDriftException(
+            s"missing primary-key column in payload; expected all of " +
+              pkSrcNames.mkString("[", ", ", "]")
+          )
+        }
+        // marker carries the batch's payload field set (JSON array)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.createObjectNode()
+        val arr = node.putArray("fields")
+        fields.sorted.foreach(arr.add)
+        Files.writeString(marker, mapper.writeValueAsString(node))
+    }
     true
+  }
+
+  /** Union of the payload field sets recorded by [[append]]'s batch
+    * markers — the field universe of everything staged so far (monotone:
+    * markers outlive retirement, and schemas only grow).
+    */
+  def observedFields(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files
+      .list(markerDir)
+      .iterator()
+      .asScala
+      .flatMap { p =>
+        val node = mapper.readTree(Files.readString(p))
+        val f = node.get("fields")
+        if (f == null) Nil
+        else f.elements().asScala.map(_.asText()).toList
+      }
+      .toSet
   }
 
   private def schema: StructType = StructType(
