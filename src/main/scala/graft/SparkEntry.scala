@@ -182,6 +182,31 @@ object SparkEntry {
         )
         .orderBy("o_custkey", "rn")
     }),
+    "q_semi_join" -> ((s, dir) => {
+      // EXISTS: customers that have at least one high-value order
+      val c = pq(s, dir, "customer")
+      val o = pq(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      // NOT EXISTS: customers with no high-value order
+      val c = pq(s, dir, "customer")
+      val o = pq(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q_distinct_count" -> ((s, dir) => {
+      pq(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts")
+        )
+        .orderBy("l_returnflag")
+    }),
     // --- training-data ops over documents/embeddings --------------------
     "q_dedup_exact" -> ((s, dir) => {
       pq(s, dir, "documents")
@@ -410,6 +435,18 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
         |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, COUNT(*) AS copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin,
