@@ -115,31 +115,42 @@ final class MultiTableLoop(
       }
 
     newResolved.foreach { target =>
-      // FK order: parents before children, level by level
+      // FK order: parents before children, level by level; tables WITHIN a
+      // level are independent, so their merges run concurrently (each is
+      // its own Spark job chain — the scheduler interleaves them, which
+      // keeps the cluster busy when a level has many small tables, the
+      // reference's fan-shards analog, fan_workers.go:136-194)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       levelOrder.foreach { level =>
-        level.foreach { topic =>
-          val t = targets(topic)
-          val fence = t.table.log
-            .latest()
-            .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
-            .getOrElse(Hlc.Zero)
-          if (target > fence) {
-            // lower bound Zero: late re-deliveries below the fence still
-            // apply (idempotent vs newer table rows); see ReplayLoop
-            val window = t.stage.selectWindow(Hlc.Zero, target)
-            val planned = ApplyPlanner.plan(
-              spark, t.spec, window, saltBuckets,
-              observedFields = Some(t.stage.observedFields().toSeq))
-            t.table.merge(
-              planned.batch,
-              t.spec.pkCols,
-              idempotenceKey = s"fence-${target.format}",
-              resolved = target,
-              lineage = Seq(s"batch=$batchId", s"topic=$topic")
-            )
-            t.stage.retire(target)
+        val merges = level.map { topic =>
+          Future {
+            val t = targets(topic)
+            val fence = t.table.log
+              .latest()
+              .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+              .getOrElse(Hlc.Zero)
+            if (target > fence) {
+              // lower bound Zero: late re-deliveries below the fence still
+              // apply (idempotent vs newer table rows); see ReplayLoop
+              val window = t.stage.selectWindow(Hlc.Zero, target)
+              val planned = ApplyPlanner.plan(
+                spark, t.spec, window, saltBuckets,
+                observedFields = Some(t.stage.observedFields().toSeq))
+              t.table.merge(
+                planned.batch,
+                t.spec.pkCols,
+                idempotenceKey = s"fence-${target.format}",
+                resolved = target,
+                lineage = Seq(s"batch=$batchId", s"topic=$topic")
+              )
+              t.stage.retire(target)
+            }
           }
         }
+        // barrier between levels: children must see committed parents
+        merges.foreach(f => Await.result(f, Duration.Inf))
       }
     }
   }

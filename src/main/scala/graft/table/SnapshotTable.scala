@@ -102,6 +102,59 @@ final class SnapshotTable(
   def payloadSchema(): Option[StructType] =
     log.latest().map(m => StructType.fromDDL(m.schemaDdl))
 
+  /** Delete data directories no commit among the newest `keepVersions`
+    * references, and drop the superseded commit files: the storage-reclaim
+    * step a long-running table needs (the snapshot analog of staged-mutation
+    * retirement; Iceberg calls it expire_snapshots). Never touches
+    * directories the retained manifests still point to — copy-on-write
+    * means an old version dir can still serve CURRENT buckets.
+    * Returns the number of data directories removed.
+    */
+  def vacuum(keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1)
+    val versions = log.listVersions()
+    if (versions.size <= keepVersions) return 0
+    val keep = versions.takeRight(keepVersions)
+    val referenced: Set[String] = keep
+      .map(log.read)
+      .flatMap(_.buckets.values.map(_.split("/").take(2).mkString("/")))
+      .toSet // e.g. "data/v00000003"
+    val dataRoot = java.nio.file.Paths.get(root, "data")
+    if (!java.nio.file.Files.exists(dataRoot)) return 0
+    import scala.jdk.CollectionConverters._
+    var removed = 0
+    java.nio.file.Files
+      .list(dataRoot)
+      .iterator()
+      .asScala
+      .toSeq
+      .foreach { d =>
+        val rel = s"data/${d.getFileName}"
+        if (!referenced.contains(rel)) {
+          deleteRecursively(d)
+          removed += 1
+        }
+      }
+    // retire the superseded commit files too (keep the ledger compact);
+    // idempotence keys of retired commits are forgotten — acceptable
+    // because replays older than the retained horizon are screened by the
+    // fence and the LWW register anyway
+    versions.dropRight(keepVersions).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "commits", f"$v%020d.json")
+      )
+    }
+    removed
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** Resolved-timestamp ledger view: one row per commit with its fence and
     * applied-mutation counters — the queryable analog of the reference's
     * resolved ledger + memo (internal/source/cdc/resolver.go:43-52,
@@ -185,11 +238,13 @@ final class SnapshotTable(
       bucketed.unpersist()
       // empty batch: still record the fence advance as a metadata-only commit
       val version = prev.map(_.version + 1).getOrElse(1L)
+      val pf = prev.map(m => Hlc(m.resolvedNanos, m.resolvedLogical)).getOrElse(Hlc.Zero)
+      val fo = if (resolved > pf) resolved else pf
       val meta = CommitMeta(
         version = version,
         idempotenceKey = idempotenceKey,
-        resolvedNanos = resolved.nanos,
-        resolvedLogical = resolved.logical,
+        resolvedNanos = fo.nanos,
+        resolvedLogical = fo.logical,
         schemaDdl = evolved.toDDL,
         numBuckets = numBuckets,
         buckets = prev.map(_.buckets).getOrElse(Map.empty),
@@ -207,6 +262,10 @@ final class SnapshotTable(
     val prevFence = prev
       .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
       .getOrElse(Hlc.Zero)
+    // the fence never regresses (a replayed old window can merge — its rows
+    // no-op against newer LWW state — but must not move the fence backward,
+    // mirroring the reference's monotonic Mark, resolver.go:154-157)
+    val fenceOut = if (resolved > prevFence) resolved else prevFence
 
     val all = current.unionByName(alignedBatch)
     val hlcTuple = struct(col(NANOS), col(LOGICAL))
@@ -267,8 +326,8 @@ final class SnapshotTable(
     val meta = CommitMeta(
       version = version,
       idempotenceKey = idempotenceKey,
-      resolvedNanos = resolved.nanos,
-      resolvedLogical = resolved.logical,
+      resolvedNanos = fenceOut.nanos,
+      resolvedLogical = fenceOut.logical,
       schemaDdl = evolved.toDDL,
       numBuckets = numBuckets,
       buckets = finalBuckets,

@@ -105,6 +105,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.log.latest().get.resolvedNanos == 50L)
   }
 
+  test("vacuum reclaims unreferenced versions; current reads survive") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    // v1..v4: four merges, each touching a different single key so old
+    // version dirs stay partially referenced (copy-on-write reuse)
+    (1 to 4).foreach { i =>
+      t.merge(batch(Seq((s"r$i", "p", s"v$i", i.toLong * 10, 0, false))), pk, s"k$i", Hlc(i * 10L, 0))
+    }
+    assert(t.log.listVersions() == Seq(1L, 2L, 3L, 4L))
+    val before = t.read().count()
+    val removed = t.vacuum(keepVersions = 2)
+    // only dirs not referenced by v3/v4 manifests may be removed
+    assert(t.log.listVersions() == Seq(3L, 4L))
+    assert(t.read().count() == before) // all rows still readable
+    assert(
+      t.read().select("repo").as[String].collect().toSet ==
+        Set("r1", "r2", "r3", "r4")
+    )
+    // vacuum again: nothing further to reclaim
+    assert(t.vacuum(2) == 0)
+    assert(removed >= 0)
+
+    // fence monotonicity: a merge carrying an OLDER resolved ts must not
+    // regress the fence
+    t.merge(batch(Seq(("rX", "p", "v", 100L, 0, false))), pk, "k5", Hlc(5L, 0))
+    assert(t.log.latest().get.resolvedNanos == 40L)
+  }
+
   test("per-partition metrics and lineage are recorded") {
     val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
     val meta = t
