@@ -54,7 +54,11 @@ final class ReplayLoop(
     initialSpec: TableSpec,
     val immediate: Boolean = false,
     val saltBuckets: Int = 64,
-    val maxFilesPerTrigger: Int = 8
+    val maxFilesPerTrigger: Int = 8,
+    /** expire snapshot versions older than this many after each merge
+      * (None = never) — keeps long-running tables' storage bounded
+      */
+    val vacuumKeepVersions: Option[Int] = Some(4)
 ) {
 
   /** current spec: schema follows the table's committed schema */
@@ -181,6 +185,7 @@ final class ReplayLoop(
           )
         }
         stage.retire(target)
+        vacuumKeepVersions.foreach(table.vacuum(_))
       }
     }
   }

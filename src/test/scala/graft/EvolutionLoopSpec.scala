@@ -69,6 +69,27 @@ class EvolutionLoopSpec extends SparkSpec {
     assert(table.payloadSchema().get.fieldNames.contains("stars"))
   }
 
+  test("wrong key arity in the feed fails the batch at staging time") {
+    val feedDir = tmpDir("badfeed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$feedDir/chunk=000000"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$feedDir/chunk=000000/bad.ndjson"),
+      // key has 1 element; PK is (repo, path) = arity 2
+      """{"after":{"repo":"r","path":"p","commit":"c","lang":"x","content":"y"},"key":["r"],"updated":"10.0000000000"}"""
+    )
+    val (loop, _) = mkLoop(feedDir, tmpDir("bad"), immediate = false)
+    val e = intercept[Exception] { loop.runAvailableNow() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(
+      chain(e).exists(c =>
+        c.isInstanceOf[graft.model.SchemaDriftException] ||
+          Option(c.getMessage).exists(_.contains("expected 2"))
+      ),
+      s"unexpected failure: $e"
+    )
+  }
+
   test("immediate mode (no fence) converges to the same final state as staged") {
     val fs = FeedSpec(
       seed = 11L,
