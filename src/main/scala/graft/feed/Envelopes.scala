@@ -93,43 +93,103 @@ object Envelopes {
     * get `data = null` even though the wire carries a row image — key
     * extraction happens first, mirroring query_payload.go:117-139).
     */
+  /** The unified-feed columns of one CDC-query row payload held in
+    * `rowJson`. Envelope stripping is STRUCTURAL ([[graft.functions
+    * .JsonDropKeys]]): any key order, nested `__crdb__`, and envelope-name
+    * lookalikes inside string values all parse correctly — mirroring the
+    * reference's decode-into-map-then-delete (query_payload.go:117-158),
+    * not its wire bytes.
+    */
+  private def queryRowCols(rowJson: Column, pkCols: Seq[String]): Seq[Column] = {
+    val stamp = get_json_object(rowJson, "$.__crdb__.updated")
+    val event = get_json_object(rowJson, "$.__event__")
+    val keyArr = to_json(
+      array(pkCols.map(c => get_json_object(rowJson, s"$$.$c")): _*)
+    )
+    val dataClean =
+      graft.functions.GraftFunctions.jsonDropKeys(rowJson, "__event__", "__crdb__")
+    Seq(
+      keyArr.as(Changefeed.KEY),
+      when(event === "delete", lit(null).cast(StringType))
+        .otherwise(dataClean)
+        .as(Changefeed.DATA),
+      substring_index(stamp, ".", 1).cast(LongType).as(Changefeed.NANOS),
+      when(
+        stamp.contains("."),
+        substring_index(stamp, ".", -1).cast(IntegerType)
+      ).otherwise(lit(0)).as(Changefeed.LOGICAL)
+    )
+  }
+
   def parseQueryLines(
       lines: DataFrame,
       pkCols: Seq[String],
       withFile: Boolean = true
   ): DataFrame = {
-    val stamp = get_json_object(col("value"), "$.__crdb__.updated")
-    val event = get_json_object(col("value"), "$.__event__")
-    val keyArr = to_json(
-      array(
-        pkCols.map(c => get_json_object(col("value"), s"$$.$c")): _*
-      )
-    )
-    // strip the envelope fields from the row image
-    val dataClean = regexp_replace(
-      regexp_replace(
-        col("value"),
-        """,?\s*"__event__"\s*:\s*"[^"]*"""",
-        ""
-      ),
-      """,?\s*"__crdb__"\s*:\s*\{[^}]*\}""",
-      ""
-    )
+    graft.functions.GraftFunctions.register(lines.sparkSession)
     lines
       .select(
-        keyArr.as(Changefeed.KEY),
-        when(event === "delete", lit(null).cast(StringType))
-          .otherwise(dataClean)
-          .as(Changefeed.DATA),
-        substring_index(stamp, ".", 1).cast(LongType).as(Changefeed.NANOS),
-        when(
-          stamp.contains("."),
-          substring_index(stamp, ".", -1).cast(IntegerType)
-        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
-        lit(false).as(Changefeed.RESOLVED),
-        (if (withFile) input_file_name() else lit("")).as(Changefeed.SRC_FILE)
+        queryRowCols(col("value"), pkCols) ++ Seq(
+          lit(false).as(Changefeed.RESOLVED),
+          (if (withFile) input_file_name() else lit("")).as(Changefeed.SRC_FILE)
+        ): _*
       )
       .filter(col(Changefeed.NANOS).isNotNull)
+  }
+
+  /** Parse webhook CDC-query bodies (column `value`) — the v23.1 webhook
+    * scheme for changefeeds with queries: one JSON body carrying a `payload`
+    * ARRAY whose elements are CDC-query rows (`__event_op__` convention via
+    * `__event__` label + per-row `__crdb__.updated`), or a body-level
+    * `__crdb__.resolved` timestamp
+    * (reference: internal/source/cdc/webhook_query.go:58-115). The webhook
+    * URL routes the whole body to ONE target table, so the output is the
+    * unified feed schema without a topic column.
+    */
+  def parseWebhookQueryLines(
+      lines: DataFrame,
+      pkCols: Seq[String],
+      withFile: Boolean = true
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(lines.sparkSession)
+    val file =
+      if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
+      else if (withFile) input_file_name()
+      else lit("")
+    val base = lines.select(col("value"), file.as(Changefeed.SRC_FILE))
+
+    // payload elements stay raw JSON text; each is one CDC-query row
+    val payload = from_json(
+      get_json_object(col("value"), "$.payload"),
+      ArrayType(StringType)
+    )
+    val muts = base
+      .select(explode(payload).as("elem"), col(Changefeed.SRC_FILE))
+      .select(
+        queryRowCols(col("elem"), pkCols) ++ Seq(
+          lit(false).as(Changefeed.RESOLVED),
+          col(Changefeed.SRC_FILE)
+        ): _*
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+
+    val resolved = get_json_object(col("value"), "$.__crdb__.resolved")
+    val res = base
+      .filter(resolved.isNotNull)
+      .select(
+        lit(null).cast(StringType).as(Changefeed.KEY),
+        lit(null).cast(StringType).as(Changefeed.DATA),
+        substring_index(resolved, ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          resolved.contains("."),
+          substring_index(resolved, ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        lit(true).as(Changefeed.RESOLVED),
+        col(Changefeed.SRC_FILE)
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+
+    muts.unionByName(res)
   }
 
   /** Parse the 33-digit resolved-filename timestamp

@@ -36,6 +36,18 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_json_drop_keys",
+      {
+        case Seq(c, keys @ _*) if keys.nonEmpty =>
+          JsonDropKeys(c, keys.map(_.eval().toString))
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_json_drop_keys expects (json, key1, ...), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_winnow",
       {
         case Seq(c) => Winnow(c, 7, 8)
@@ -64,6 +76,13 @@ object GraftFunctions {
       c,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(numHashes)
+    )
+
+  /** Structurally drop top-level JSON keys (requires [[register]]). */
+  def jsonDropKeys(c: Column, keys: String*): Column =
+    call_function(
+      "graft_json_drop_keys",
+      (c +: keys.map(org.apache.spark.sql.functions.lit(_))): _*
     )
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */

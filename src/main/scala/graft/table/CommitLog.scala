@@ -79,9 +79,27 @@ final class CommitLog(root: String) {
 
   def all(): Seq[CommitMeta] = listVersions().map(read)
 
+  /** [[read]] that absorbs a missing commit file (vacuumed / never written). */
+  def tryRead(version: Long): Option[CommitMeta] =
+    if (Files.exists(pathFor(version))) Some(read(version)) else None
+
+  // idempotence keys, loaded once per process then maintained on commit():
+  // contains() is O(1) per merge instead of deserializing every commit JSON
+  // (single writer per table, so the cache can only be a superset of the
+  // on-disk keys — and a superset is the safe direction for idempotence)
+  private var keyCache: scala.collection.mutable.Set[String] = null
+
+  private def keys(): scala.collection.mutable.Set[String] = synchronized {
+    if (keyCache == null) {
+      keyCache = scala.collection.mutable.Set.empty[String]
+      all().foreach(m => keyCache += m.idempotenceKey)
+    }
+    keyCache
+  }
+
   /** True if some commit already carries this idempotence key. */
   def contains(idempotenceKey: String): Boolean =
-    all().exists(_.idempotenceKey == idempotenceKey)
+    keys().contains(idempotenceKey)
 
   /** Atomically publish a commit. Returns false if the version already
     * exists (lost race / replay) — callers re-check idempotence then.
@@ -91,6 +109,7 @@ final class CommitLog(root: String) {
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, meta)
     try {
       Files.move(tmp, pathFor(meta.version), StandardCopyOption.ATOMIC_MOVE)
+      synchronized { if (keyCache != null) keyCache += meta.idempotenceKey }
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

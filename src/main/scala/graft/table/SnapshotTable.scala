@@ -29,8 +29,10 @@ import graft.model.Hlc
   *     table a last-writer-wins register per key: *any* replay or reordering
   *     of batches converges to the same final state, which is what makes the
   *     whole pipeline idempotent end-to-end (the exactly-once north rule).
-  *     Tombstones below the previous resolved fence are garbage-collected on
-  *     the next merge (no older event can arrive past the fence — the
+  *     Tombstones are garbage-collected on the next merge once they fall
+  *     below a LAGGED fence horizon (one fence generation behind the
+  *     committed fence), so the loop's tolerance for transport-reordered
+  *     below-fence deliveries can never resurrect a deleted key — the
   *     analog of staged-mutation retirement, internal/staging/stage/
   *     stage.go:390-436).
   *   - Schema evolution: added columns and type widening evolve the snapshot
@@ -44,7 +46,15 @@ import graft.model.Hlc
 final class SnapshotTable(
     spark: SparkSession,
     val root: String,
-    val numBuckets: Int = 64
+    val numBuckets: Int = 64,
+    /** Write-task fan-out per touched bucket: the merge write repartitions by
+      * `(bucket, pk-hash % writersPerBucket)`, so a hot or very large bucket
+      * is rewritten by up to this many tasks/files instead of exactly one —
+      * the knob that decouples write parallelism from `numBuckets` at scale.
+      * A bucket directory with several part files is already the read path's
+      * normal case, and footer counts sum per-bucket across files.
+      */
+    val writersPerBucket: Int = 4
 ) {
   import SnapshotTable._
 
@@ -203,7 +213,11 @@ final class SnapshotTable(
       pkCols: Seq[String],
       idempotenceKey: String,
       resolved: Hlc = Hlc.Zero,
-      lineage: Seq[String] = Nil
+      lineage: Seq[String] = Nil,
+      /** caller-supplied counters persisted alongside the merge metrics
+        * (e.g. the replay loop's merged-through staging sequence)
+        */
+      extraMetrics: Map[String, Long] = Map.empty
   ): Option[CommitMeta] = {
     if (log.contains(idempotenceKey)) return None
 
@@ -249,7 +263,7 @@ final class SnapshotTable(
         numBuckets = numBuckets,
         buckets = prev.map(_.buckets).getOrElse(Map.empty),
         bucketSchemas = prev.map(_.bucketSchemas).getOrElse(Map.empty),
-        metrics = Map("rows_written" -> 0L, "touched_buckets" -> 0L),
+        metrics = Map("rows_written" -> 0L, "touched_buckets" -> 0L) ++ extraMetrics,
         partitionMetrics = Map.empty,
         lineage = lineage,
         committedAtMs = System.currentTimeMillis()
@@ -267,17 +281,42 @@ final class SnapshotTable(
     // mirroring the reference's monotonic Mark, resolver.go:154-157)
     val fenceOut = if (resolved > prevFence) resolved else prevFence
 
+    // Tombstone GC horizon: the newest fence strictly OLDER than the
+    // previous one (one fence generation of lag). The replay loop tolerates
+    // transport-reordered deliveries below the committed fence (file sources
+    // order by mtime), so a tombstone must outlive its own fence by at least
+    // one generation — otherwise delete@t2 could be GC'd and a late
+    // upsert@t1 (t1<t2) would resurrect the deleted key. Walking back over
+    // the retained commits is bounded by the vacuum window.
+    val gcHorizon: Hlc = prev
+      .map { p =>
+        var v = p.version - 1
+        var h = Hlc.Zero
+        var continue = true
+        while (continue && v >= 1) {
+          log.tryRead(v) match {
+            case Some(m) if Hlc(m.resolvedNanos, m.resolvedLogical) < prevFence =>
+              h = Hlc(m.resolvedNanos, m.resolvedLogical); continue = false
+            case Some(_) => v -= 1
+            case None => continue = false // vacuumed past: keep tombstones
+          }
+        }
+        h
+      }
+      .getOrElse(Hlc.Zero)
+
     val all = current.unionByName(alignedBatch)
     val hlcTuple = struct(col(NANOS), col(LOGICAL))
     val winners = all
       .groupBy(pkCols.map(col): _*)
       .agg(max_by(struct(all.columns.map(col): _*), hlcTuple).as("__row"))
       .select(all.columns.map(c => col(s"__row.`$c`").as(c)): _*)
-      // GC tombstones at/below the previous fence: nothing older can arrive
+      // GC tombstones at/below the lagged horizon: nothing older can arrive
+      // within the tolerated disorder window
       .filter(
         !col(DELETED) ||
           struct(col(NANOS), col(LOGICAL)) >
-          struct(lit(prevFence.nanos), lit(prevFence.logical))
+          struct(lit(gcHorizon.nanos), lit(gcHorizon.logical))
       )
 
     val version = prev.map(_.version + 1).getOrElse(1L)
@@ -295,7 +334,16 @@ final class SnapshotTable(
         sum(col(DELETED).cast(LongType)).as("tombstones")
       )
       .withColumn("__bp", col(BUCKET))
-      .repartition(col(BUCKET))
+      // (bucket, pk-salt) repartition: a bucket's rewrite fans out over up to
+      // `writersPerBucket` tasks/files — one hot bucket no longer serializes
+      // the COW write, and hash skew across reducers is diluted. Directory
+      // (`partitionBy`) writes tolerate many tasks per partition value. The
+      // partition count is explicit so AQE cannot coalesce the fan-out away.
+      .repartition(
+        touched.size * writersPerBucket,
+        col(BUCKET),
+        pmod(xxhash64(pkCols.map(col): _*), lit(writersPerBucket))
+      )
       .write
       .mode("overwrite")
       .partitionBy("__bp")
@@ -337,7 +385,7 @@ final class SnapshotTable(
         "tombstones" -> tombstones,
         "live_rows_in_touched_buckets" -> (rowsWritten - tombstones),
         "touched_buckets" -> touched.size.toLong
-      ),
+      ) ++ extraMetrics,
       partitionMetrics =
         perBucket.map { case (b, n) => b.toString -> n }.toMap,
       lineage = lineage,

@@ -68,6 +68,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 0)
   }
 
+  test("lagged tombstone GC: late below-fence upsert cannot resurrect a deleted key") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    t.merge(batch(Seq(("r1", "a", "v1", 10L, 0, false))), pk, "k1", Hlc(10, 0))
+    // delete at t=20, fence passes 20
+    t.merge(batch(Seq(("r1", "a", null, 20L, 0, true))), pk, "k2", Hlc(20, 0))
+    // an unrelated merge advances the fence further; an eager GC-at-prevFence
+    // policy would drop the tombstone here — the lagged horizon must not
+    t.merge(batch(Seq(("r2", "b", "v1", 25L, 0, false))), pk, "k3", Hlc(25, 0))
+    assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 1)
+    // the late, transport-reordered upsert@15 (below the committed fence)
+    // arrives now: it must lose to the still-present tombstone@20
+    t.merge(batch(Seq(("r1", "a", "ghost", 15L, 0, false))), pk, "k4", Hlc(26, 0))
+    assert(!t.read().select("repo").as[String].collect().contains("r1"))
+  }
+
+  test("hot-bucket writes fan out over multiple files (writersPerBucket)") {
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 1, writersPerBucket = 4)
+    val big = batch((0 until 400).map(i => (s"r$i", s"p$i", "v", 10L, 0, false)))
+    val meta = t.merge(big, pk, "k1", Hlc(10, 0)).get
+    // one bucket, but the write produced several part files inside it
+    val dir = java.nio.file.Paths.get(t.root, meta.buckets.values.head)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(dir).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts > 1, s"expected multi-file bucket write, got $parts file(s)")
+    assert(meta.partitionMetrics.values.sum == 400L)
+    assert(t.read().count() == 400)
+  }
+
   test("schema evolution: added column and int->long widening, old buckets reused") {
     val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 16)
     val b1 = Seq(("r1", "a", "v1", 1, 10L, 0, false), ("r9", "z", "v1", 2, 10L, 0, false))
