@@ -132,9 +132,15 @@ final class MultiTableLoop(
               .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
               .getOrElse(Hlc.Zero)
             if (target > fence) {
-              // lower bound Zero: late re-deliveries below the fence still
-              // apply (idempotent vs newer table rows); see ReplayLoop
-              val window = t.stage.selectWindow(Hlc.Zero, target)
+              // bounded window + late-delivery branch, as in ReplayLoop:
+              // (fence, target] plus anything staged since the last merge
+              val mergedThroughSeq: Long = t.table.log
+                .latest()
+                .flatMap(_.metric("merged_through_seq"))
+                .getOrElse(0L)
+              val seqNow = t.stage.currentSeq()
+              val window =
+                t.stage.selectWindow(fence, target, Some(mergedThroughSeq))
               val planned = ApplyPlanner.plan(
                 spark, t.spec, window, saltBuckets,
                 observedFields = Some(t.stage.observedFields().toSeq))
@@ -143,7 +149,8 @@ final class MultiTableLoop(
                 t.spec.pkCols,
                 idempotenceKey = s"fence-${target.format}",
                 resolved = target,
-                lineage = Seq(s"batch=$batchId", s"topic=$topic")
+                lineage = Seq(s"batch=$batchId", s"topic=$topic"),
+                extraMetrics = Map("merged_through_seq" -> seqNow)
               )
               t.stage.retire(target)
             }

@@ -114,7 +114,7 @@ final class ReplayLoop(
       val planned = ApplyPlanner.plan(
         spark, spec, muts, saltBuckets,
         dedup = spec.config.casColumns.nonEmpty)
-      val gated = casGate(planned.batch, spec)
+      val (gated, casCleanup) = casGate(planned.batch, spec)
       table.merge(
         batch = gated,
         pkCols = spec.pkCols,
@@ -122,6 +122,7 @@ final class ReplayLoop(
         resolved = Hlc.Zero,
         lineage = lineageOf(lines, batchId)
       )
+      casCleanup()
       return
     }
 
@@ -149,19 +150,25 @@ final class ReplayLoop(
 
     val fence = committedFence
     newResolved.filter(_ > fence).foreach { target =>
-      // window lower bound is Zero, NOT the previous fence: a mutation
-      // below an already-committed fence can still arrive late when the
-      // transport reorders deliveries (e.g. the file source orders by
-      // mtime). Already-applied staged rows re-merge as no-ops (the table
-      // row carries >= ts), and retirement keeps the re-read bounded to
-      // the un-retired tail, so correctness never depends on delivery
-      // order — only visibility latency does.
+      // window = (prevFence, target] PLUS anything staged since the last
+      // merge regardless of ts: a mutation below an already-committed fence
+      // can still arrive late when the transport reorders deliveries (e.g.
+      // the file source orders by mtime) — it was staged AFTER the last
+      // merge, so the stage_seq branch picks it up exactly once. Rows
+      // already merged by earlier fences (ts <= fence, staged before the
+      // recorded seq) are no longer re-read and re-written every fence.
       //
       // raw (non-deduplicated) read: exact duplicates collapse in the
       // merge's per-key max_by anyway, saving a shuffle. Not cached: with
       // the staging-time summary, the window feeds exactly one consumer
       // (the merge, which caches its own transformed batch).
-      val window = stage.selectWindowRaw(Hlc.Zero, target)
+      val mergedThroughSeq: Long = table.log
+        .latest()
+        .flatMap(_.metric("merged_through_seq"))
+        .getOrElse(0L)
+      val seqNow = stage.currentSeq() // this batch's append already happened
+      val window =
+        stage.selectWindowRaw(fence, target, stagedAfterSeq = Some(mergedThroughSeq))
       locally {
         val spec = currentSpec
         // pre-dedup only when a CAS gate needs one candidate per key; the
@@ -174,31 +181,52 @@ final class ReplayLoop(
             // field set was collected while staging: no summary scan here
             observedFields = Some(stage.observedFields().toSeq))
         }
-        val gated = casGate(planned.batch, spec)
+        val (gated, casCleanup) = casGate(planned.batch, spec)
         timed(s"merge fence=${target.format}", batchId) {
           table.merge(
             batch = gated,
             pkCols = spec.pkCols,
             idempotenceKey = s"fence-${target.format}",
             resolved = target,
-            lineage = lineageOf(lines, batchId)
+            lineage = lineageOf(lines, batchId),
+            extraMetrics = Map("merged_through_seq" -> seqNow)
           )
         }
+        casCleanup()
         stage.retire(target)
         vacuumKeepVersions.foreach(table.vacuum(_))
       }
     }
   }
 
-  private def casGate(batch: DataFrame, spec: TableSpec): DataFrame =
-    if (spec.config.casColumns.isEmpty) batch
-    else
-      ApplyPlanner.casFilter(
-        batch,
-        table.readRaw().filter(!col(SnapshotTable.DELETED)),
+  /** CAS gate with the current-row read pruned to the batch's touched
+    * buckets — at scale an unpruned readRaw() is a full-table scan per
+    * fence. The batch is cached for the two passes (bucket discovery +
+    * join); `cleanup` releases it after the merge has consumed the result.
+    */
+  private def casGate(batch: DataFrame, spec: TableSpec): (DataFrame, () => Unit) =
+    if (spec.config.casColumns.isEmpty) (batch, () => ())
+    else {
+      val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touched: Set[Int] = cached
+        .select(
+          pmod(
+            xxhash64(spec.pkCols.map(col): _*),
+            lit(table.numBuckets)
+          ).cast("int").as("b")
+        )
+        .distinct()
+        .collect()
+        .map(_.getInt(0))
+        .toSet
+      val gated = ApplyPlanner.casFilter(
+        cached,
+        table.readRaw(Some(touched)).filter(!col(SnapshotTable.DELETED)),
         spec.pkCols,
         spec.config.casColumns
       )
+      (gated, () => { cached.unpersist(); () })
+    }
 
   private def lineageOf(lines: DataFrame, batchId: Long): Seq[String] = {
     // distinct source files of this batch — cheap: file-name column only

@@ -32,10 +32,27 @@ final class StagedStore(
 
   private val dataDir = s"$root/data"
   private val markerDir = Paths.get(root, "_batch_markers")
+  private val seqFile = Paths.get(root, "_seq")
   Files.createDirectories(markerDir)
   Files.createDirectories(Paths.get(dataDir))
 
   private def bucketOf(nanos: Long): Long = Math.floorDiv(nanos, bucketNanos)
+
+  /** Monotone append counter, persisted across restarts. Every successful
+    * (non-replayed) [[append]] stamps its rows with the next value; the
+    * replay loop records the counter at merge time so later merges can
+    * separate "staged after my last merge" (late, must apply) from "already
+    * merged" rows without re-reading either. Unlike Spark batch ids, this
+    * never resets when a checkpoint is wiped.
+    */
+  def currentSeq(): Long =
+    if (Files.exists(seqFile)) Files.readString(seqFile).trim.toLong else 0L
+
+  private def nextSeq(): Long = {
+    val n = currentSeq() + 1
+    Files.writeString(seqFile, n.toString)
+    n
+  }
 
   /** Append a batch of parsed mutations
     * `(key, data, nanos, logical, src_file)`. `batchId` makes replays cheap
@@ -59,6 +76,7 @@ final class StagedStore(
     val marker = markerDir.resolve(s"$batchId")
     if (Files.exists(marker)) return false
     val staged = mutations
+      .withColumn(SEQ, lit(nextSeq()))
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
       // one shuffle so each ts bucket lands as O(few) files per batch
       // instead of (tasks x buckets) small files; the 4-way key salt keeps
@@ -141,7 +159,8 @@ final class StagedStore(
       StructField("data", StringType),
       StructField("nanos", LongType),
       StructField("logical", IntegerType),
-      StructField("src_file", StringType)
+      StructField("src_file", StringType),
+      StructField(SEQ, LongType)
     )
   )
 
@@ -149,6 +168,8 @@ final class StagedStore(
     spark.read
       .schema(schema.add(TS_BUCKET, LongType))
       .parquet(dataDir)
+      // files written before the seq column existed read as null -> 0
+      .withColumn(SEQ, coalesce(col(SEQ), lit(0L)))
 
   /** All currently staged mutations (deduplicated). */
   def readAll(): DataFrame =
@@ -160,16 +181,35 @@ final class StagedStore(
     * the merge path can skip the dedup entirely. Use [[selectWindow]] when
     * consumers need unique rows.
     */
-  def selectWindowRaw(from: Hlc, to: Hlc): DataFrame = {
+  /** @param stagedAfterSeq when set, rows staged with `stage_seq >` this
+    *   value are included even when their ts is at/below `from` — the
+    *   late-delivery branch: a transport-reordered mutation below the
+    *   committed fence still applies exactly once (it was never merged),
+    *   while rows already merged by earlier fences (ts <= from AND staged
+    *   before the last merge) stop being re-read and re-written every fence.
+    */
+  def selectWindowRaw(
+      from: Hlc,
+      to: Hlc,
+      stagedAfterSeq: Option[Long] = None
+  ): DataFrame = {
     val ts = struct(col("nanos"), col("logical"))
     val lo = struct(lit(from.nanos), lit(from.logical))
     val hi = struct(lit(to.nanos), lit(to.logical))
-    readRaw()
-      .filter(
+    val inWindow = ts > lo
+    val cond = stagedAfterSeq match {
+      case None =>
+        // pure window read: lower-bound partition pruning applies
         col(TS_BUCKET).between(bucketOf(from.nanos), bucketOf(to.nanos)) &&
-          col("nanos").between(from.nanos, to.nanos) &&
-          ts > lo && ts <= hi
-      )
+          col("nanos").between(from.nanos, to.nanos) && inWindow
+      case Some(seq) =>
+        // late rows live in ts buckets below `from`; retirement keeps the
+        // on-disk set bounded, so only the UPPER bound prunes here
+        col(TS_BUCKET) <= bucketOf(to.nanos) &&
+          col("nanos") <= to.nanos &&
+          (inWindow || col(SEQ) > seq)
+    }
+    readRaw().filter(cond && ts <= hi)
   }
 
   /** Staged mutations with `from < ts <= to` (HLC order), deduplicated.
@@ -177,10 +217,15 @@ final class StagedStore(
     * pushed to the parquet scan; the exact HLC tuple bounds are applied
     * post-scan.
     */
-  def selectWindow(from: Hlc, to: Hlc): DataFrame =
+  def selectWindow(
+      from: Hlc,
+      to: Hlc,
+      stagedAfterSeq: Option[Long] = None
+  ): DataFrame =
     // filter (selectWindowRaw) BEFORE the dedup aggregate so partition
     // pruning and parquet predicate pushdown see the raw scan
-    selectWindowRaw(from, to).dropDuplicates("nanos", "logical", "key")
+    selectWindowRaw(from, to, stagedAfterSeq)
+      .dropDuplicates("nanos", "logical", "key")
 
   /** Distinct commit timestamps present in staging within the window —
     * the reference's TransactionTimes scan (stage.go:126-164).
@@ -244,4 +289,5 @@ final class StagedStore(
 
 object StagedStore {
   val TS_BUCKET = "ts_bucket"
+  val SEQ = "stage_seq"
 }

@@ -40,7 +40,18 @@ final case class CommitMeta(
     partitionMetrics: Map[String, Long],
     lineage: Seq[String],
     committedAtMs: Long
-)
+) {
+
+  /** Type-safe metric read. `metrics` is declared `Map[String, Long]`, but a
+    * meta RE-READ from JSON carries boxed Integers for small values (Jackson
+    * + type erasure) — pattern-matching through Number absorbs both.
+    */
+  def metric(name: String): Option[Long] =
+    metrics.asInstanceOf[Map[String, Any]].get(name) match {
+      case Some(n: Number) => Some(n.longValue())
+      case _ => None
+    }
+}
 
 /** File-based commit log with atomic-rename commits.
   *

@@ -181,8 +181,8 @@ final class SnapshotTable(
           m.resolvedNanos,
           m.resolvedLogical,
           m.committedAtMs,
-          m.metrics.getOrElse("rows_written", 0L),
-          m.metrics.getOrElse("tombstones", 0L)
+          m.metric("rows_written").getOrElse(0L),
+          m.metric("tombstones").getOrElse(0L)
         )
       )
       .toDF(

@@ -178,6 +178,69 @@ class ReplayLoopSpec extends SparkSpec {
     assert(loop2.committedFence > fence1)
   }
 
+  test("bounded re-merge window: applied rows stop rewriting; late below-fence rows still apply") {
+    val feedDir = tmpDir("feed3")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2e3")
+
+    def mut(repo: String, path: String, c: String, nanos: Long): String =
+      s"""{"after":{"repo":"$repo","path":"$path","commit":"$c","lang":"x","content":"$c"},"key":["$repo","$path"],"updated":"$nanos.0000000000"}"""
+    def res(nanos: Long): String = s"""{"resolved":"$nanos.0000000000"}"""
+
+    var mtime = 1000000L
+    def writeChunk(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(feedDir, "chunk=000000", name)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      mtime += 1000
+    }
+
+    // window 1: 100 keys, fence 1100
+    writeChunk(
+      "w1.ndjson",
+      (0 until 100).map(i => mut("r", s"p$i", "c1", 1000L + i)) :+ res(1100L)
+    )
+    // window 2: ONE key, fence 2100 — the 100 already-applied staged rows
+    // must NOT re-merge (they share the staging ts-bucket, so retirement
+    // alone cannot exclude them)
+    writeChunk("w2.ndjson", Seq(mut("r", "fresh", "c2", 2000L), res(2100L)))
+    // window 3: a LATE, below-fence mutation (ts 1050 < fence 2100) plus a
+    // below-fence DELETE of an applied key — both staged after the last
+    // merge, both must apply exactly once
+    writeChunk(
+      "w3.ndjson",
+      Seq(
+        mut("r", "late_insert", "c3", 1050L),
+        s"""{"after":null,"key":["r","p7"],"updated":"2050.0000000000"}""",
+        res(2200L)
+      )
+    )
+
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 16)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L * 3600)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      saltBuckets = 8, maxFilesPerTrigger = 1
+    )
+    loop.runAvailableNow()
+
+    val paths = table.read().select("path").as[String].collect().toSet
+    assert(paths.contains("fresh"))
+    assert(paths.contains("late_insert"), "late below-fence insert must apply")
+    assert(!paths.contains("p7"), "late below-fence delete must apply")
+    assert(paths.size == 101) // 100 - p7 + fresh + late_insert
+
+    // the window-2 merge must not have rewritten the 100 window-1 rows:
+    // its rows_written covers only the fresh key's bucket cohabitants
+    val commits = table.log.all()
+    val w2 = commits.find(_.idempotenceKey == "fence-2100.0000000000").get
+    assert(
+      w2.metric("rows_written").get <= 20,
+      s"window-2 merge rewrote ${w2.metric("rows_written")} rows — bounded window regressed"
+    )
+    assert(w2.metric("merged_through_seq").isDefined)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
