@@ -179,55 +179,83 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-duplicate pairs: 64-bit simhash, banded into four 16-bit
-    * chunks (two docs within Hamming distance 3 must agree on at least one
-    * chunk... within 3 of 64 bits they agree on >= 1 of 4 chunks), verified
-    * with bit_count(a XOR b) <= maxHamming.
+  /** SimHash near-duplicate pairs: 64-bit simhash banded into
+    * `maxHamming + 1` disjoint bit chunks, verified with
+    * `bit_count(a XOR b) <= maxHamming`.
+    *
+    * The chunk count is DERIVED from `maxHamming` so the pigeonhole
+    * guarantee always matches the query: two fingerprints within Hamming
+    * distance H differ in at most H of the C = H+1 chunks, so they agree
+    * exactly on at least one chunk and are guaranteed to collide — recall 1
+    * at the advertised radius (the classic Hamming-LSH banding argument;
+    * Charikar '02 fingerprints). Chunks cover all 64 bits with widths
+    * differing by at most one.
+    *
+    * @param maxBucketSize chunk buckets larger than this are skipped — one
+    *   boilerplate-heavy bucket (e.g. the all-zero chunk of empty docs) is
+    *   an O(m²) self-join otherwise. A skipped bucket only loses pairs whose
+    *   OTHER agreeing chunks are also crowded.
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 2000
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val chunks = maxHamming + 1
     val withSh = df.select(
       col(idCol).as("id"),
       SimHash64.simhash64(col(textCol)).as("sh")
     )
+    // chunk i covers bits [i*64/C, (i+1)*64/C): disjoint, exhaustive
+    def chunkKey(c: Int): Column = {
+      val start = c * 64 / chunks
+      val len = (c + 1) * 64 / chunks - start
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask))
+    }
     val chunked = withSh.select(
       col("id"),
-      col("sh"),
       explode(
-        array((0 until 4).map { c =>
-          struct(
-            lit(c).as("chunk"),
-            shiftrightunsigned(col("sh"), c * 16)
-              .bitwiseAND(lit(0xffffL))
-              .as("ckey")
-          )
+        array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk"), chunkKey(c).as("ckey"))
         }: _*)
       ).as("cc")
-    )
-    val l = chunked.select(
-      col("cc.chunk").as("chunk"),
-      col("cc.ckey").as("ckey"),
-      col("id").as("id_a"),
-      col("sh").as("sh_a")
-    )
-    val r = chunked.select(
-      col("cc.chunk").as("chunk"),
-      col("cc.ckey").as("ckey"),
-      col("id").as("id_b"),
-      col("sh").as("sh_b")
-    )
-    l.join(r, Seq("chunk", "ckey"))
+    ).select(col("id"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+
+    // crowded-bucket cap (same pattern as minhashCandidatePairs)
+    val sized = chunked
+      .withColumn(
+        "bsize",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
+        )
+      )
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+
+    // ids-only through the chunk join; signatures re-attached once per
+    // DEDUPED candidate pair for the exact Hamming verify
+    val l = sized.select(col("chunk"), col("ckey"), col("id").as("id_a"))
+    val r = sized.select(col("chunk"), col("ckey"), col("id").as("id_b"))
+    val pairs = l
+      .join(r, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(shA, "id_a")
+      .join(shB, "id_b")
       .select(
         col("id_a"),
         col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

@@ -73,11 +73,30 @@ object SimilarityOps {
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** LSH bucket code with `bits` hyperplanes. */
-  def lshCode(vec: Column, bits: Int = 8): Column =
+  /** LSH bucket code with `bits` hyperplanes. `band` offsets the hyperplane
+    * seeds so each band is an independent hash family.
+    */
+  def lshCode(vec: Column, bits: Int = 8, band: Int = 0): Column =
     (0 until bits)
-      .map(p => shiftleft(planeBit(vec, p), p))
+      .map(p => shiftleft(planeBit(vec, band * bits + p), p))
       .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Crowded-bucket cap: drop rows of `df` whose `keyCols` bucket holds more
+    * than `maxBucketSize` rows — one degenerate bucket (zero vectors,
+    * boilerplate) is an O(m²) self-join otherwise.
+    */
+  private def capBuckets(
+      df: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int
+  ): DataFrame =
+    df.withColumn(
+      "__bsize",
+      count(lit(1)).over(
+        Window.partitionBy(keyCols.map(col): _*)
+      )
+    ).filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
 
   /** Bucketed ANN: exact cosine, but only within LSH buckets (multi-probe:
     * each query also probes all single-bit-flip neighbor buckets).
@@ -88,9 +107,18 @@ object SimilarityOps {
       queries: DataFrame, // (qid, qvec)
       base: DataFrame, // (id, vec)
       k: Int = 10,
-      bits: Int = 8
+      bits: Int = 8,
+      /** cap on base rows per LSH bucket: a degenerate bucket would turn the
+        * probe join quadratic; dropped rows are recoverable by raising
+        * `bits` (finer buckets) rather than scanning the crowd
+        */
+      maxBucketSize: Int = 100000
   ): DataFrame = {
-    val baseCoded = base.withColumn("code", lshCode(col("vec"), bits))
+    val baseCoded = capBuckets(
+      base.withColumn("code", lshCode(col("vec"), bits)),
+      Seq("code"),
+      maxBucketSize
+    )
     val qCode = lshCode(col("qvec"), bits)
     val probes = array(
       (Seq(qCode) ++ (0 until bits).map(b =>
@@ -109,22 +137,54 @@ object SimilarityOps {
       .select("qid", "id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs over one table: LSH-bucket
-    * self-join then exact-cosine threshold (near-dup dedup by embeddings).
+  /** Embedding-cosine near-duplicate pairs over one table: banded LSH
+    * self-join, crowded-bucket cap, then exact-cosine threshold.
+    *
+    * `bands` independent `bits`-bit codes: a pair is a candidate when ANY
+    * band collides, so recall at similarity s is
+    * `1 - (1 - ((1-θ(s)/π)^bits))^bands` — for cos >= 0.99 and the default
+    * (6 bits × 12 bands) that is > 1 - 1e-8, i.e. effectively exact at the
+    * advertised threshold, while each band still splits the corpus into
+    * 2^bits buckets (the MinHash-LSH banding construction applied to
+    * random-hyperplane codes). Candidates are deduped as ids BEFORE vectors
+    * are re-attached, so the exact-cosine verify runs once per pair, not
+    * once per colliding band.
+    *
+    * @param maxBucketSize per-(band, code) cap; a degenerate bucket (many
+    *   zero/identical vectors) would otherwise go quadratic
     */
   def cosineNearDupPairs(
       df: DataFrame, // (id, vec)
       threshold: Double = 0.95,
-      bits: Int = 8
+      bits: Int = 6,
+      bands: Int = 12,
+      maxBucketSize: Int = 2000
   ): DataFrame = {
-    val coded = df.withColumn("code", lshCode(col("vec"), bits))
-    val l = coded.select(col("code"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = coded.select(col("code"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("code"))
+    val coded = df.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"), lshCode(col("vec"), bits, b).as("code"))
+        }: _*)
+      ).as("bc")
+    ).select(col("id"), col("bc.band").as("band"), col("bc.code").as("code"))
+
+    val sized = capBuckets(coded, Seq("band", "code"), maxBucketSize)
+    val l = sized.select(col("band"), col("code"), col("id").as("id_a"))
+    val r = sized.select(col("band"), col("code"), col("id").as("id_b"))
+    val pairs = l
+      .join(r, Seq("band", "code"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val vecA = df.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vecB = df.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs
+      .join(vecA, "id_a")
+      .join(vecB, "id_b")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 }

@@ -85,6 +85,55 @@ class TrainingOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash banding recall is 1 at the advertised radius (chunks = maxHamming+1)") {
+    // 80 synthetic docs incl. clusters of near-identical texts; ground truth
+    // by brute force over all pairs, compared at maxHamming = 10 — the
+    // pigeonhole guarantee must make the banded join recall every pair
+    val synth = (0 until 80).map { i =>
+      val base = s"document number ${i / 4} talks about topic ${i / 8} in detail"
+      val noise = if (i % 4 == 0) "" else s" variant ${i % 4}"
+      (i.toLong, base + noise)
+    }
+    val df = synth.toDF("doc_id", "text")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hashes = synth.map { case (id, t) => (id, SimHash64.simhash(t)) }
+    val exact = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && ham(ha, hb) <= 10
+    } yield (ia, ib)).toSet
+    val got = DedupOps
+      .simhashPairs(df, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.nonEmpty, "ground truth should contain near-dup pairs")
+    assert(got == exact, s"missing=${(exact -- got).take(5)} spurious=${(got -- exact).take(5)}")
+  }
+
+  test("crowded-bucket caps bound candidate generation without losing distinct pairs") {
+    // 300 identical docs (one degenerate bucket) + one near-dup pair; with
+    // maxBucketSize below the crowd the identical block is skipped but the
+    // distinct pair still collides in its own buckets
+    val crowd = (0 until 300).map(i => (i.toLong, "boilerplate legal disclaimer text repeated verbatim"))
+    val tA = "a unique story about catalyst expression codegen and shuffles"
+    val tB = "a unique story about catalyst expression codegen and shuffle"
+    val pairDocs = Seq((1000L, tA), (1001L, tB))
+    // radius that provably includes the planted pair
+    val radius =
+      java.lang.Long.bitCount(SimHash64.simhash(tA) ^ SimHash64.simhash(tB))
+    val df = (crowd ++ pairDocs).toDF("doc_id", "text")
+    val got = DedupOps
+      .simhashPairs(df, "text", "doc_id", maxHamming = radius, maxBucketSize = 100)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got.contains((1000L, 1001L)))
+    // the 300-identical crowd (44850 pairs) must have been capped away
+    assert(!got.exists(p => p._1 < 300L && p._2 < 300L))
+  }
+
   test("winnowing fingerprints: shared substrings => shared fingerprints") {
     val a = "x" * 3 + "the quick brown fox jumps over the lazy dog" + "y" * 3
     val b = "z" * 9 + "the quick brown fox jumps over the lazy dog" + "w" * 5
@@ -168,6 +217,36 @@ class TrainingOpsSpec extends SparkSpec {
       .collect()
       .toSet
     assert(pairs.contains((0L, 100L)))
+  }
+
+  test("banded cosine near-dup recall is 1 vs brute force on planted clusters") {
+    val r = new scala.util.Random(11)
+    val baseVecs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(16)((r.nextDouble() * 2 - 1).toFloat))
+    }
+    // plant several perturbation clusters (cosine ~0.999)
+    val planted = baseVecs ++ (0 until 10).map { i =>
+      (1000L + i, baseVecs(i)._2.map(x => x + (r.nextDouble() * 0.002 - 0.001).toFloat))
+    }
+    val df = planted.toDF("id", "vec")
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val exact = (for {
+      (ia, va) <- planted; (ib, vb) <- planted
+      if ia < ib && cosine(va, vb) >= 0.99
+    } yield (ia, ib)).toSet
+    val got = SimilarityOps
+      .cosineNearDupPairs(df, threshold = 0.99, bits = 6, bands = 12)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.size >= 10)
+    assert(got == exact, s"missing=${(exact -- got).take(5)} spurious=${(got -- exact).take(5)}")
   }
 
   test("text ops: token counts, language id, quality score") {
