@@ -244,12 +244,73 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
     }),
-    // --- rows-only checks (non-SQL-expressible operators) ----------------
+    // --- CDC-query envelope end-to-end (S3/S4), DuckDB-oracled ----------
+    "q_query_apply" -> ((s, dir) => {
+      // events re-encoded as CDC-query ndjson with ALTERNATING envelope key
+      // order (__event__ first on even ids, last on odd ids — the case the
+      // old regex parser corrupted), then parsed, planned, and LWW-applied;
+      // 'error' events ride the wire as deletes
+      import graft.applyops.{ApplyPlanner, TableSpec}
+      import graft.feed.Envelopes
+      val e = pq(s, dir, "events")
+      val op = when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("insert"))
+      val stamp = concat(col("event_id").cast(StringType), lit(".0000000000"))
+      val fields = concat(
+        lit("\"user_id\":"), col("user_id").cast(StringType),
+        lit(",\"event_id\":"), col("event_id").cast(StringType),
+        lit(",\"event_type\":\""), col("event_type"),
+        lit("\",\"val_cents\":"),
+        floor(col("value") * 100 + 0.5).cast(LongType).cast(StringType)
+      )
+      val lineA = concat(
+        lit("{\"__event__\":\""), op, lit("\","), fields,
+        lit(",\"__crdb__\":{\"updated\":\""), stamp, lit("\"}}")
+      )
+      val lineB = concat(
+        lit("{\"__crdb__\":{\"updated\":\""), stamp, lit("\"},"), fields,
+        lit(",\"__event__\":\""), op, lit("\"}")
+      )
+      val lines = e.select(
+        when(pmod(col("event_id"), lit(2)) === 0, lineA).otherwise(lineB).as("value")
+      )
+      val parsed = Envelopes.parseQueryLines(lines, Seq("user_id"), withFile = false)
+      val payload = StructType(
+        Seq(
+          StructField("user_id", LongType),
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("val_cents", LongType)
+        )
+      )
+      val planned = ApplyPlanner.plan(
+        s,
+        TableSpec(payload, Seq("user_id")),
+        parsed.select("key", "data", "nanos", "logical", "src_file"),
+        saltBuckets = 16
+      )
+      planned.batch
+        .filter(!col("__deleted"))
+        .select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("val_cents")
+        )
+        .orderBy("user_id")
+    }),
+    // --- LSH candidates + EXACT verify (DuckDB-oracled vs all-pairs) ------
     "q_minhash_pairs" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      DedupOps
+      val cands = DedupOps
         .minhashCandidatePairs(d, "text", "doc_id", k = 5, numHashes = 32, bands = 8)
-        .filter(col("est_jaccard") >= 0.5)
+      DedupOps
+        .jaccardVerify(cands, d, "text", "doc_id", k = 5, threshold = 0.5)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          floor(col("jaccard") * 1000 + 0.5).cast(LongType).as("jacc_milli")
+        )
         .orderBy("id_a", "id_b")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
@@ -283,7 +344,7 @@ object SparkEntry {
       pq(s, dir, "documents")
         .select(
           col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.qualityScoreMicros(col("text")).as("quality_micro"),
           TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish")
         )
         .orderBy("doc_id")
@@ -311,20 +372,44 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
     "q_embed_near_dup" -> ((s, dir) => {
+      // the raw embeddings table has no pairs above ~0.51 cosine, so the
+      // near-dup operator is exercised on base ∪ planted perturbations:
+      // v' = v + deterministic per-index deltas (pure double arithmetic —
+      // bit-identical in the DuckDB oracle), giving cos(v, v') ≈ 0.99987
+      // against a ≤0.52 background. LSH banding recall at that gap is 1.
       val emb = pq(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.select(
+        col("id"),
+        transform(col("vec"), x => x.cast("double")).as("vec")
+      )
+      val planted = emb.select(
+        (col("id") + 100000L).as("id"),
+        transform(
+          col("vec"),
+          (x, i) => x.cast("double") + ((col("id") + i) % 7 - 3) * lit(0.001)
+        ).as("vec")
+      )
       SimilarityOps
-        .cosineNearDupPairs(emb, threshold = 0.99, bits = 6)
+        .cosineNearDupPairs(base.unionByName(planted), threshold = 0.99, bits = 6, bands = 12)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
     "q_media_features" -> ((s, dir) => {
+      // the full decode pipeline runs (batched mapPartitions through the
+      // codec boundary); the DuckDB oracle checks the SQL-expressible slice
+      // (id/mime routing, byte accounting) — width/height/luma stay under
+      // the golden sbt test because the stub codec's FNV fold is not SQL
       val ids = pq(s, dir, "documents").select(col("doc_id").as("media_id"))
       val blobs = MultiModalOps.syntheticBlobs(ids, "media_id", 128)
       MultiModalOps
         .extractFeatures(s, blobs)
         .toDF()
-        .select("media_id", "mime", "byte_len", "width", "height")
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("byte_len").cast(LongType).as("byte_len")
+        )
         .orderBy("media_id")
     }),
     "q_replay_e2e" -> ((s, dir) => {
@@ -461,6 +546,116 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_agg" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_query_apply" ->
+      """SELECT user_id, last_event_id, last_type, val_cents FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS val_cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |) WHERE last_type <> 'error' ORDER BY user_id""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) < 5 THEN [text]
+        |              ELSE list_distinct(list_transform(range(1, len(text)-5+2), i -> text[i:i+4]))
+        |         END AS s
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) * 1000 + 0.5) AS BIGINT) AS jacc_milli
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_langid_pred" -> {
+      def lst(words: Seq[String]): String =
+        words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS toks,
+         |         len(regexp_extract_all(text, '[{}();=<>\\[\\]]')) AS sym
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN best.s > 0 THEN best.l ELSE 'unknown' END AS pred_lang,
+         |       lang AS stored_lang
+         |FROM (
+         |  SELECT doc_id, lang, list_sort([
+         |    {'s': CAST(len(list_intersect(toks, ${lst(TextOps.enStop)})) AS DOUBLE), 'l': 'en'},
+         |    {'s': CAST(len(list_intersect(toks, ${lst(TextOps.deStop)})) AS DOUBLE), 'l': 'de'},
+         |    {'s': CAST(len(list_intersect(toks, ${lst(TextOps.frStop)})) AS DOUBLE), 'l': 'fr'},
+         |    {'s': CAST(len(list_intersect(toks, ${lst(TextOps.esStop)})) AS DOUBLE), 'l': 'es'},
+         |    {'s': sym / 2, 'l': 'code'}
+         |  ])[-1] AS best
+         |  FROM sc
+         |) ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      def lst(words: Seq[String]): String =
+        words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
+         |         CAST(len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), ${lst(
+          TextOps.enStop
+        )})) AS DOUBLE) AS stop,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, n_bpeish,
+         |         least(n_toks / 20.0, 1.0) AS len_score,
+         |         1.0 - least((punct / greatest(n_chars, 1.0)) * 3.0, 1.0) AS punct_score,
+         |         1.0 - least((digits / greatest(n_chars, 1.0)) * 3.0, 1.0) AS digit_score,
+         |         least((stop / greatest(n_toks, 1.0)) * 4.0, 1.0) AS stop_score
+         |  FROM f
+         |)
+         |SELECT doc_id,
+         |       CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + stop_score * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
+         |       n_bpeish
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+    "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT qid, id, rank FROM (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         CAST(row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS BIGINT) AS rank
+        |  FROM q CROSS JOIN e
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_embed_near_dup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), planted AS (
+        |  SELECT vec_id + 100000 AS id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> x + ((vec_id + (i - 1)) % 7 - 3) * 0.001) AS v
+        |  FROM embeddings
+        |), e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM e a JOIN e b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q_replay_e2e runs the WHOLE staged replay engine on a self-generated
+    // deterministic feed (seed 42, fixed spec — sfDir-independent), so its
+    // final state is a constant: the oracle pins the exact expected rows,
+    // including the per-repo xxhash64 content fingerprints. Any drift in
+    // parsing, staging, fencing, LWW, or merge semantics breaks the hash.
+    "q_replay_e2e" ->
+      """SELECT * FROM (VALUES
+        |  ('repo-0', CAST(54 AS BIGINT), CAST(-6531421433498501817 AS BIGINT)),
+        |  ('repo-1', CAST(52 AS BIGINT), CAST(-3716472392772398316 AS BIGINT)),
+        |  ('repo-2', CAST(52 AS BIGINT), CAST(-7530155950403201470 AS BIGINT)),
+        |  ('repo-3', CAST(49 AS BIGINT), CAST(2117660097189448270 AS BIGINT)),
+        |  ('repo-4', CAST(54 AS BIGINT), CAST(7871592093500255080 AS BIGINT)),
+        |  ('repo-5', CAST(47 AS BIGINT), CAST(8815659288587902798 AS BIGINT)),
+        |  ('repo-6', CAST(49 AS BIGINT), CAST(-88058474467934700 AS BIGINT))
+        |) AS t(repo, n_paths, state_fp) ORDER BY repo""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |       CAST(128 AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

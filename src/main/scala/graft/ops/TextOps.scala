@@ -24,20 +24,20 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  private val enStop = Seq(
+  val enStop = Seq(
     "the", "of", "and", "to", "in", "a", "is", "that", "it", "was", "for",
     "on", "are", "as", "with", "his", "they", "at", "be", "this", "have",
     "from", "or", "had", "by", "not", "but", "what", "all", "were", "we"
   )
-  private val deStop = Seq(
+  val deStop = Seq(
     "der", "die", "das", "und", "ist", "ich", "nicht", "sie", "es", "ein",
     "eine", "zu", "den", "mit", "auf", "für", "von", "dem", "sich", "auch"
   )
-  private val frStop = Seq(
+  val frStop = Seq(
     "le", "la", "les", "et", "est", "je", "pas", "vous", "que", "une",
     "un", "des", "dans", "qui", "pour", "sur", "avec", "il", "elle", "nous"
   )
-  private val esStop = Seq(
+  val esStop = Seq(
     "el", "la", "los", "las", "y", "es", "no", "que", "una", "un", "de",
     "en", "por", "para", "con", "se", "su", "al", "lo", "como"
   )
@@ -92,10 +92,8 @@ object TextOps {
     )
   }
 
-  /** Composite quality score in [0,1]: penalizes very short docs, extreme
-    * punctuation/digit density, and missing stopwords.
-    */
-  def qualityScore(text: Column): Column = {
+  /** Unrounded composite quality score in [0,1]. */
+  private def qualityRaw(text: Column): Column = {
     val f = qualityFeatures(text)
     val lenScore =
       least(f.getField("n_tokens").cast("double") / lit(20.0), lit(1.0))
@@ -104,12 +102,22 @@ object TextOps {
     val digitScore =
       lit(1.0) - least(f.getField("digit_ratio") * lit(3.0), lit(1.0))
     val stopScore = least(f.getField("stopword_ratio") * lit(4.0), lit(1.0))
-    round(
-      (lenScore * lit(0.3) + punctScore * lit(0.3) +
-        digitScore * lit(0.2) + stopScore * lit(0.2)),
-      6
-    )
+    lenScore * lit(0.3) + punctScore * lit(0.3) +
+      digitScore * lit(0.2) + stopScore * lit(0.2)
   }
+
+  /** Composite quality score in [0,1]: penalizes very short docs, extreme
+    * punctuation/digit density, and missing stopwords.
+    */
+  def qualityScore(text: Column): Column = round(qualityRaw(text), 6)
+
+  /** [[qualityScore]] as integer micro-units (exact cross-engine value: no
+    * float formatting in downstream hashes). `floor(x*1e6 + 0.5)` rather
+    * than `round`: pure IEEE ops are bit-identical across engines, while
+    * round implementations differ on decimal-vs-binary tie handling.
+    */
+  def qualityScoreMicros(text: Column): Column =
+    floor(qualityRaw(text) * lit(1000000.0) + lit(0.5)).cast("long")
 
   /** Exact-content fingerprint (for exact dedup). */
   def contentHash(text: Column): Column = sha2(text, 256)
