@@ -197,6 +197,37 @@ object ApplyPlanner {
       )
     }
 
+    // ---- value validation: enum allowed-values + lexical patterns -------
+    // the analog of the reference's DB-side casts ($1::"MyEnum", ::INET,
+    // ::VARBIT): an invalid value fails the WHOLE batch, it never lands
+    // silently. Deletes are exempt (no row image). Runs one extra bounded
+    // action only when a table actually configures validation.
+    if (cfg.allowedValues.nonEmpty || cfg.patterns.nonEmpty) {
+      val viols: Seq[(Column, String)] =
+        cfg.allowedValues.toSeq.map { case (c, vals) =>
+          (col(c).isNotNull && !col(c).isin(vals.map(lit): _*), c)
+        } ++ cfg.patterns.toSeq.map { case (c, re) =>
+          (col(c).isNotNull && !col(c).cast(StringType).rlike(re), c)
+        }
+      val anyViol = viols.map(_._1).reduce(_ || _)
+      val desc = concat_ws(
+        ", ",
+        viols.map { case (cond, name) =>
+          when(cond, concat(lit(s"$name="), coalesce(col(name).cast(StringType), lit("null"))))
+        }: _*
+      )
+      val bad = out
+        .filter(!col(SnapshotTable.DELETED) && anyViol)
+        .select(desc)
+        .limit(1)
+        .collect()
+      if (bad.nonEmpty) {
+        throw new SchemaDriftException(
+          s"invalid value for validated column: ${bad(0).getString(0)}"
+        )
+      }
+    }
+
     // ---- salted last-writer-wins dedup per key --------------------------
     val deduped =
       if (!dedup) out

@@ -48,6 +48,16 @@ final case class Resolved(nanos: Long, logical: Int) {
   * @param ignore      payload columns to silently drop (conf.go:52)
   * @param sourceNames target column -> alternate payload field name
   *                    (conf.go:53)
+  * @param allowedValues column -> allowed value set: the engine-side analog
+  *                    of the reference's user-defined ENUM columns, where
+  *                    the `$1::"MyEnum"` cast makes the database reject any
+  *                    value outside the set and the whole batch fails
+  *                    (queries/common.tmpl:23-24, apply_test.go TestUTDEnum).
+  *                    A non-null value outside the set fails the batch.
+  * @param patterns    column -> regex the (string) value must match: the
+  *                    analog of DB-validated lexical types (INET, VARBIT —
+  *                    apply_test.go:206-337) that have no Spark type; rows
+  *                    that don't match fail the batch like a DB cast error
   */
 final case class TableConfig(
     casColumns: Seq[String] = Nil,
@@ -55,7 +65,9 @@ final case class TableConfig(
     exprs: Map[String, String] = Map.empty,
     extras: Option[String] = None,
     ignore: Set[String] = Set.empty,
-    sourceNames: Map[String, String] = Map.empty
+    sourceNames: Map[String, String] = Map.empty,
+    allowedValues: Map[String, Seq[String]] = Map.empty,
+    patterns: Map[String, String] = Map.empty
 )
 
 /** Schema-drift failure, matching the reference's error surface

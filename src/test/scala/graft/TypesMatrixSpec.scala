@@ -105,6 +105,92 @@ class TypesMatrixSpec extends SparkSpec {
     }
   }
 
+  test("BYTES/TIME/INTERVAL/INET/VARBIT/collated columns round-trip (apply_test.go:206-337)") {
+    // the reference's remaining matrix rows: BYTES natively binary (base64
+    // on the JSON wire, Spark BinaryType), TIME/INTERVAL as lexical strings
+    // (Spark has no such column types), INET/VARBIT as pattern-validated
+    // strings, collated strings as plain strings (collation is a target-DB
+    // ordering concern, not a storage one)
+    val schema2 = StructType(
+      Seq(
+        StructField("pk", IntegerType),
+        StructField("c_bytes", BinaryType),
+        StructField("c_time", StringType),
+        StructField("c_interval", StringType),
+        StructField("c_inet", StringType),
+        StructField("c_varbit", StringType),
+        StructField("c_collate", StringType)
+      )
+    )
+    val cfg = graft.model.TableConfig(
+      patterns = Map(
+        "c_inet" -> "^\\d{1,3}(\\.\\d{1,3}){3}(/\\d{1,2})?$",
+        "c_varbit" -> "^[01]+$"
+      )
+    )
+    val b64 = java.util.Base64.getEncoder.encodeToString("a1b2c3".getBytes("UTF-8"))
+    val window = Seq(
+      (
+        "[1]",
+        s"""{"pk":1,"c_bytes":"$b64","c_time":"01:23:45.123456","c_interval":"2h30m30s","c_inet":"192.168.0.1","c_varbit":"10010101","c_collate":"a1b2c3"}""",
+        10L, 0, "f"
+      ),
+      ("[2]", """{"pk":2}""", 11L, 0, "f") // NULL twin
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val spec = TableSpec(schema2, Seq("pk"), cfg, allowEvolution = false)
+    val planned = ApplyPlanner.plan(spark, spec, window, 4)
+    val t = new SnapshotTable(spark, tmpDir("types2"), numBuckets = 2)
+    t.merge(planned.batch, Seq("pk"), "k1", Hlc(11, 0))
+    val rows = t.read().orderBy("pk").collect()
+    val r1 = rows(0)
+    assert(new String(r1.getAs[Array[Byte]]("c_bytes"), "UTF-8") == "a1b2c3")
+    assert(r1.getAs[String]("c_time") == "01:23:45.123456")
+    assert(r1.getAs[String]("c_interval") == "2h30m30s")
+    assert(r1.getAs[String]("c_inet") == "192.168.0.1")
+    assert(r1.getAs[String]("c_varbit") == "10010101")
+    assert(r1.getAs[String]("c_collate") == "a1b2c3")
+    val r2 = rows(1)
+    schema2.fieldNames.filterNot(_ == "pk").foreach { f =>
+      assert(r2.isNullAt(r2.fieldIndex(f)), s"expected null $f")
+    }
+
+    // invalid INET / VARBIT fail the batch like a DB cast error
+    val badInet = Seq(("[3]", """{"pk":3,"c_inet":"not-an-ip"}""", 12L, 0, "f"))
+      .toDF("key", "data", "nanos", "logical", "src_file")
+    val e1 = intercept[graft.model.SchemaDriftException] {
+      ApplyPlanner.plan(spark, spec, badInet, 4).batch.count()
+    }
+    assert(e1.getMessage.contains("c_inet=not-an-ip"))
+    val badBit = Seq(("[4]", """{"pk":4,"c_varbit":"10201"}""", 13L, 0, "f"))
+      .toDF("key", "data", "nanos", "logical", "src_file")
+    intercept[graft.model.SchemaDriftException] {
+      ApplyPlanner.plan(spark, spec, badBit, 4).batch.count()
+    }
+  }
+
+  test("enum allowed-values validation (TestUTDEnum analog): valid lands, invalid fails batch") {
+    val schema2 = StructType(
+      Seq(StructField("pk", IntegerType), StructField("val", StringType))
+    )
+    val cfg = graft.model.TableConfig(allowedValues = Map("val" -> Seq("foo", "bar")))
+    val spec = TableSpec(schema2, Seq("pk"), cfg, allowEvolution = false)
+
+    val ok = Seq(
+      ("[42]", """{"pk":42,"val":"bar"}""", 1L, 0, "f"),
+      ("[43]", """{"pk":43}""", 2L, 0, "f"), // null enum value is allowed
+      ("[44]", null.asInstanceOf[String], 3L, 0, "f") // delete exempt
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner.plan(spark, spec, ok, 4)
+    assert(planned.batch.count() == 3)
+
+    val bad = Seq(("[45]", """{"pk":45,"val":"Repeated"}""", 4L, 0, "f"))
+      .toDF("key", "data", "nanos", "logical", "src_file")
+    val e = intercept[graft.model.SchemaDriftException] {
+      ApplyPlanner.plan(spark, spec, bad, 4).batch.count()
+    }
+    assert(e.getMessage.contains("val=Repeated"))
+  }
+
   test("decimal exponent forms normalize exactly (4e+2 -> 400, 4e-2 -> 0.04)") {
     val schema2 = StructType(
       Seq(StructField("pk", IntegerType), StructField("d", DecimalType(10, 4)))
