@@ -44,7 +44,11 @@ object ApplyPlanner {
       batch: DataFrame,
       evolvedSchema: StructType,
       /** distinct payload fields observed (diagnostics / lineage) */
-      observedFields: Seq[String]
+      observedFields: Seq[String],
+      /** effective merge key — the declared PK, or Seq("rowid") when the
+        * spec is PK-less and the planner synthesized one
+        */
+      pkCols: Seq[String]
   )
 
   /** payload field name that feeds target column `c` */
@@ -63,15 +67,36 @@ object ApplyPlanner {
     *   planner skips its own summary scan entirely. Key-arity / missing-PK
     *   validation is then the stager's responsibility.
     */
+  /** Synthetic PK column for tables declared WITHOUT a primary key,
+    * mirroring the reference's rowid synthesis
+    * (internal/target/schemawatch/coldata.go:147-182): the target schema
+    * gains a leading `rowid INT8` primary column. Feeds that carry a key
+    * map it positionally; keyless feeds get a deterministic hash of
+    * (row image, HLC), so replays of the same mutation collapse while
+    * distinct mutations append.
+    */
+  val ROWID = "rowid"
+
   def plan(
       spark: SparkSession,
-      spec: TableSpec,
+      specIn: TableSpec,
       window: DataFrame,
       saltBuckets: Int = 64,
       now: Option[java.sql.Timestamp] = None,
       dedup: Boolean = true,
       observedFields: Option[Seq[String]] = None
   ): PlanResult = {
+    val syntheticPk = specIn.pkCols.isEmpty
+    val spec =
+      if (!syntheticPk) specIn
+      else
+        specIn.copy(
+          payloadSchema = StructType(
+            StructField(ROWID, LongType, nullable = false) +:
+              specIn.payloadSchema.fields.filterNot(_.name == ROWID)
+          ),
+          pkCols = Seq(ROWID)
+        )
     val cfg = spec.config
     val keyArr = from_json(col("key"), ArrayType(StringType))
     val pkSrcNames = spec.pkCols.map(srcName(spec, _))
@@ -94,19 +119,23 @@ object ApplyPlanner {
           max(when(missingPkCond, 1).otherwise(0)).as("missing_pk")
         )
         .collect()(0)
-      val arities = summaryRow.getSeq[Int](0)
-      val missingPk = !summaryRow.isNullAt(2) && summaryRow.getInt(2) == 1
-      val expect = spec.pkCols.size
-      arities.find(_ != expect).foreach { got =>
-        throw new SchemaDriftException(
-          s"the mutation key has $got values, expected $expect"
-        )
-      }
-      if (missingPk) {
-        throw new SchemaDriftException(
-          s"missing primary-key column in payload; expected all of " +
-            pkSrcNames.mkString("[", ", ", "]")
-        )
+      // a synthetic-rowid table accepts any key shape (0 or 1 values) and
+      // never requires the PK in the payload — the rowid is engine-made
+      if (!syntheticPk) {
+        val arities = summaryRow.getSeq[Int](0)
+        val missingPk = !summaryRow.isNullAt(2) && summaryRow.getInt(2) == 1
+        val expect = spec.pkCols.size
+        arities.find(_ != expect).foreach { got =>
+          throw new SchemaDriftException(
+            s"the mutation key has $got values, expected $expect"
+          )
+        }
+        if (missingPk) {
+          throw new SchemaDriftException(
+            s"missing primary-key column in payload; expected all of " +
+              pkSrcNames.mkString("[", ", ", "]")
+          )
+        }
       }
       summaryRow.getSeq[String](1)
     }
@@ -157,7 +186,14 @@ object ApplyPlanner {
 
     val payloadCols: Seq[Column] = evolved.fields.toIndexedSeq.map { f =>
       val fromData = payload.getField(srcName(spec, f.name))
-      if (spec.pkCols.contains(f.name)) {
+      if (syntheticPk && f.name == ROWID) {
+        // rowid: positionally from the key when the feed carries one,
+        // else a deterministic hash of (row image, HLC) — replays of the
+        // same mutation collapse, distinct mutations append
+        when(size(keyArr) >= 1, element_at(keyArr, 1).cast(LongType))
+          .otherwise(xxhash64(col("data"), col("nanos"), col("logical")))
+          .as(f.name)
+      } else if (spec.pkCols.contains(f.name)) {
         val i = spec.pkCols.indexOf(f.name)
         // deletes carry no row image: PK comes positionally from the key
         when(isDelete, pkFromKey(i, f)).otherwise(fromData).as(f.name)
@@ -249,7 +285,7 @@ object ApplyPlanner {
             nullable = true
           )
         )
-    PlanResult(deduped, finalSchema, fields)
+    PlanResult(deduped, finalSchema, fields, spec.pkCols)
   }
 
   /** Compare-and-set gate against the current table rows: keep an incoming

@@ -88,19 +88,18 @@ final class MultiTableLoop(
     val parsed = Envelopes.parseWebhookLines(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))
 
-    // stage every table's slice (idempotent per batch); the drift summary
-    // rides each write and lands in the batch markers
-    targets.foreach { case (topic, t) =>
-      val pkSrc = t.spec.pkCols
-        .map(c => t.spec.config.sourceNames.getOrElse(c, c))
-      t.stage.append(
-        muts
-          .filter(col("topic") === topic)
-          .select("key", "data", "nanos", "logical", "src_file"),
-        batchId,
-        validatePk = Some((t.spec.pkCols.size, pkSrc))
-      )
-    }
+    // stage EVERY table's slice in one Spark job (idempotent per batch):
+    // partitionBy(topic, ts_bucket) + a single per-topic drift aggregation
+    // replaces the T-pass per-topic append loop
+    StagedStore.appendMultiTopic(
+      muts.select("topic", "key", "data", "nanos", "logical", "src_file"),
+      batchId,
+      stores = targets.map { case (topic, t) => topic -> t.stage },
+      validatePk = targets.map { case (topic, t) =>
+        topic -> ((t.spec.pkCols.size,
+          t.spec.pkCols.map(c => t.spec.config.sourceNames.getOrElse(c, c))))
+      }
+    )
 
     val resolvedRows = Envelopes
       .parseWebhookLines(lines.filter(col("value").contains("\"resolved\"")))

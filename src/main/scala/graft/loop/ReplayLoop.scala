@@ -58,7 +58,14 @@ final class ReplayLoop(
     /** expire snapshot versions older than this many after each merge
       * (None = never) — keeps long-running tables' storage bounded
       */
-    val vacuumKeepVersions: Option[Int] = Some(4)
+    val vacuumKeepVersions: Option[Int] = Some(4),
+    /** byte budget per micro-batch — the reference's `bytesInFlight`
+      * backpressure knob (internal/source/logical/config.go:35). The vanilla
+      * file source caps by file COUNT, so the budget is converted to a count
+      * from the observed feed file sizes at start; the smaller of this and
+      * `maxFilesPerTrigger` wins.
+      */
+    val maxBytesPerTrigger: Option[Long] = None
 ) {
 
   /** current spec: schema follows the table's committed schema */
@@ -241,10 +248,42 @@ final class ReplayLoop(
     s"batch=$batchId" +: files
   }
 
-  /** Start the continuous streaming query. */
+  /** File cap for one trigger: `maxFilesPerTrigger`, tightened by the byte
+    * budget divided by the observed mean feed-file size (sampled from the
+    * directory listing — metadata only).
+    */
+  private[graft] def effectiveMaxFiles: Int = maxBytesPerTrigger match {
+    case None => maxFilesPerTrigger
+    case Some(budget) =>
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(feedDir)
+      val sizes =
+        if (!java.nio.file.Files.exists(dir)) Nil
+        else
+          java.nio.file.Files
+            .walk(dir, 2)
+            .iterator()
+            .asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p))
+            .take(256)
+            .map(java.nio.file.Files.size)
+            .toSeq
+      if (sizes.isEmpty) maxFilesPerTrigger
+      else {
+        val mean = math.max(1L, sizes.sum / sizes.size)
+        math.max(1, math.min(maxFilesPerTrigger.toLong, budget / mean).toInt)
+      }
+  }
+
+  /** Start the continuous streaming query. Backfill ordering: the file
+    * source delivers oldest-first (modification time), which matches the
+    * reference's backfill scan order over committed timestamps
+    * (internal/source/logical/factory.go:219-223) — and the staged merge is
+    * order-immune regardless (LWW register + fence).
+    */
   def start(trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger", effectiveMaxFiles)
       .text(s"$feedDir/chunk=*")
       .writeStream
       .trigger(trigger)

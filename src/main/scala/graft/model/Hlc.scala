@@ -25,17 +25,32 @@ final case class Hlc(nanos: Long, logical: Int) extends Ordered[Hlc] {
 object Hlc {
   val Zero: Hlc = Hlc(0L, 0)
 
-  /** Parse `"<nanos>.<logical-10-digits>"`; the logical part is optional in
-    * lenient inputs (treated as 0). Throws on malformed input, mirroring the
-    * reference's strict parse (hlc.go:60-77).
+  /** Strict parse of `"<nanos>.<logical>"`, mirroring the reference's rules
+    * exactly (hlc.go:60-77): exactly one dot, nanos >= 0, and the logical
+    * part either 10 digits wide or zero-valued. Malformed feeds surface
+    * here instead of being silently absorbed.
     */
   def parse(s: String): Hlc = {
-    val dot = s.indexOf('.')
-    if (dot < 0) Hlc(s.trim.toLong, 0)
-    else Hlc(s.substring(0, dot).toLong, s.substring(dot + 1).toInt)
+    val parts = s.split("\\.", -1)
+    if (parts.length != 2)
+      throw new NumberFormatException(s"can't parse timestamp $s")
+    val nanos = parts(0).toLong
+    if (nanos < 0)
+      throw new NumberFormatException(s"nanos must be greater than 0: $nanos")
+    val logical = parts(1).toInt
+    if (parts(1).length != 10 && logical != 0)
+      throw new NumberFormatException(
+        s"logical part '${parts(1)}' must be 10 digits or zero-valued"
+      )
+    Hlc(nanos, logical)
   }
 
+  /** Lenient entry point: the strict rules plus a bare-nanos form
+    * (`"123"` == `Hlc(123, 0)`); None on anything malformed.
+    */
   def tryParse(s: String): Option[Hlc] =
-    try Some(parse(s))
-    catch { case _: NumberFormatException | _: NullPointerException => None }
+    try {
+      if (s != null && !s.contains('.')) Some(Hlc(s.trim.toLong, 0))
+      else Some(parse(s))
+    } catch { case _: NumberFormatException | _: NullPointerException => None }
 }

@@ -290,4 +290,135 @@ final class StagedStore(
 object StagedStore {
   val TS_BUCKET = "ts_bucket"
   val SEQ = "stage_seq"
+
+  /** ONE-PASS staging of a multi-topic batch.
+    *
+    * The per-topic `append` loop scans the (cached) batch once per topic —
+    * T passes. This writes every topic's slice in a single Spark job
+    * (`partitionBy(topic, ts_bucket)` into a batch-scoped spill dir), runs
+    * ONE `groupBy(topic)` drift aggregation, then adopts the written files
+    * into each topic's store with driver-side renames (metadata only) and
+    * writes the per-topic markers. Crash between adopt and marker replays
+    * the batch; duplicate rows are byte-identical and collapse in the
+    * read-side dedup / merge max_by, same contract as [[StagedStore.append]].
+    *
+    * `mutations` must carry `(topic, key, data, nanos, logical, src_file)`.
+    * Per-topic seq values are stamped at write time (CASE over topics) and
+    * the stores' counters are bumped after adoption.
+    */
+  def appendMultiTopic(
+      mutations: DataFrame,
+      batchId: Long,
+      stores: Map[String, StagedStore],
+      validatePk: Map[String, (Int, Seq[String])]
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    require(stores.nonEmpty)
+    val pending: Map[String, StagedStore] = stores.filter { case (_, st) =>
+      !Files.exists(st.markerDir.resolve(s"$batchId"))
+    }
+    if (pending.isEmpty) return
+    val topics = pending.keys.toSeq.sorted
+    val muts = mutations.filter(col("topic").isin(topics.map(lit): _*))
+
+    // per-topic seq and ts-bucket width, folded into single columns
+    val seqOf: Map[String, Long] =
+      pending.map { case (t, st) => t -> (st.currentSeq() + 1) }
+    val seqCol = topics.foldLeft(lit(0L)) { (acc, t) =>
+      when(col("topic") === t, lit(seqOf(t))).otherwise(acc)
+    }
+    val bucketCol = topics.foldLeft(lit(0L)) { (acc, t) =>
+      when(col("topic") === t, floor(col("nanos") / pending(t).bucketNanos))
+        .otherwise(acc)
+    }
+
+    val spillRoot = Files.createTempDirectory(s"graft-multistage-$batchId")
+    val spillDir = spillRoot.resolve("data").toString
+    val staged = muts
+      .withColumn(SEQ, seqCol)
+      .withColumn(TS_BUCKET, bucketCol)
+      .repartition(col("topic"), col(TS_BUCKET), pmod(xxhash64(col("key")), lit(4)))
+
+    // ONE drift aggregation for every topic (groupBy replaces T Observations)
+    val keyArr = from_json(col("key"), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    val missingPkCol = validatePk.foldLeft(lit(false)) { case (acc, (t, (_, names))) =>
+      when(
+        col("topic") === t,
+        col("data").isNotNull &&
+          names.map(n => get_json_object(col("data"), s"$$.$n").isNull).reduce(_ || _)
+      ).otherwise(acc)
+    }
+    val summary = muts
+      .groupBy(col("topic"))
+      .agg(
+        collect_set(size(keyArr)).as("arities"),
+        array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
+          .as("fields"),
+        max(when(missingPkCol, 1).otherwise(0)).as("missing_pk")
+      )
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getSeq[Int](1), r.getSeq[String](2), !r.isNullAt(3) && r.getInt(3) == 1))
+      )
+      .toMap
+
+    validatePk.foreach { case (t, (arity, names)) =>
+      summary.get(t).foreach { case (arities, _, missing) =>
+        arities.find(_ != arity).foreach { got =>
+          throw new graft.model.SchemaDriftException(
+            s"[$t] the mutation key has $got values, expected $arity"
+          )
+        }
+        if (missing) {
+          throw new graft.model.SchemaDriftException(
+            s"[$t] missing primary-key column in payload; expected all of " +
+              names.mkString("[", ", ", "]")
+          )
+        }
+      }
+    }
+
+    staged
+      .withColumnRenamed("topic", "__topic")
+      .write
+      .mode("overwrite")
+      .partitionBy("__topic", TS_BUCKET) // partition cols stay out of files
+      .parquet(spillDir)
+
+    // adopt: move each topic's ts_bucket part files into its store (driver
+    // renames — no data pass), bump seq, write markers with the field sets
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    topics.foreach { t =>
+      val st = pending(t)
+      val topicDir = Paths.get(spillDir, s"__topic=$t")
+      if (Files.exists(topicDir)) {
+        Files.list(topicDir).iterator().asScala.toSeq.foreach { bucketDir =>
+          val name = bucketDir.getFileName.toString // ts_bucket=N
+          if (name.startsWith(s"$TS_BUCKET=")) {
+            val target = Paths.get(st.root, "data", name)
+            Files.createDirectories(target)
+            Files.list(bucketDir).iterator().asScala.toSeq.foreach { f =>
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                Files.move(f, target.resolve(f.getFileName))
+              }
+            }
+          }
+        }
+      }
+      Files.writeString(st.seqFile, seqOf(t).toString)
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("fields")
+      summary.get(t).map(_._2.sorted).getOrElse(Nil).foreach(arr.add)
+      Files.writeString(st.markerDir.resolve(s"$batchId"), mapper.writeValueAsString(node))
+    }
+    // scratch cleanup (only empty partition dirs and _SUCCESS remain)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(spillRoot)
+  }
 }

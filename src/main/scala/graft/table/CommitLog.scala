@@ -85,8 +85,13 @@ final class CommitLog(root: String) {
   def latest(): Option[CommitMeta] =
     listVersions().lastOption.map(read)
 
-  def read(version: Long): CommitMeta =
+  /** test hook: commit-file deserializations performed by this instance */
+  private[graft] var fileReads: Long = 0
+
+  def read(version: Long): CommitMeta = {
+    fileReads += 1
     mapper.readValue(pathFor(version).toFile, classOf[CommitMeta])
+  }
 
   def all(): Seq[CommitMeta] = listVersions().map(read)
 

@@ -199,4 +199,30 @@ class ApplyPlannerSpec extends SparkSpec {
       .toSet
     assert(got == Set(("r1", "a", 7), ("r1", "c", 1), ("r1", "b", 0)))
   }
+
+  test("PK-less spec synthesizes a rowid primary key (coldata.go:147-182)") {
+    val schema2 = StructType(Seq(StructField("v", StringType)))
+    val spec = TableSpec(schema2, Nil, TableConfig(), allowEvolution = false)
+    val window = Seq(
+      ("[]", """{"v":"a"}""", 1L, 0, "f"),
+      ("[]", """{"v":"a"}""", 1L, 0, "f"), // duplicate delivery: collapses
+      ("[]", """{"v":"b"}""", 2L, 0, "f"), // distinct mutation: appends
+      ("[7]", """{"v":"c"}""", 3L, 0, "f") // keyed feed: rowid positional
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner.plan(spark, spec, window, 4)
+    assert(planned.pkCols == Seq("rowid"))
+    assert(planned.evolvedSchema.fieldNames.head == "rowid")
+    val rows = planned.batch
+      .select($"rowid", $"v")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._2)
+    assert(rows.length == 3) // duplicate collapsed, others kept
+    assert(rows.map(_._2).toSeq == Seq("a", "b", "c"))
+    assert(rows.find(_._2 == "c").get._1 == 7L) // positional key mapping
+    // merge into a snapshot table on the synthetic key
+    val t = new SnapshotTable(spark, tmpDir("pkless"), numBuckets = 2)
+    t.merge(planned.batch, planned.pkCols, "k1", graft.model.Hlc(3, 0))
+    assert(t.read().count() == 3)
+  }
 }

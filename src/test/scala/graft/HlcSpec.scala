@@ -20,8 +20,16 @@ class HlcSpec extends AnyFunSuite {
     assert(Hlc(1, 0).format == "1.0000000000")
   }
 
-  test("parse accepts missing logical part") {
-    assert(Hlc.parse("123") == Hlc(123, 0))
+  test("parse is strict like the reference (hlc.go): one dot, 10-digit or zero logical, nanos >= 0") {
+    // bare nanos: lenient entry point only
+    intercept[NumberFormatException] { Hlc.parse("123") }
+    assert(Hlc.tryParse("123").contains(Hlc(123, 0)))
+    // multi-dot must not silently mis-parse ('5.3' parses where ref errors)
+    intercept[NumberFormatException] { Hlc.parse("5.3.7") }
+    intercept[NumberFormatException] { Hlc.parse("5.3") } // 1-digit nonzero logical
+    assert(Hlc.parse("5.0") == Hlc(5, 0)) // zero-valued logical: any width
+    intercept[NumberFormatException] { Hlc.parse("-5.0000000001") }
+    assert(Hlc.parse("5.0000000003") == Hlc(5, 3))
   }
 
   test("ordering is lexicographic on (nanos, logical) (property)") {

@@ -241,6 +241,31 @@ class ReplayLoopSpec extends SparkSpec {
     assert(w2.metric("merged_through_seq").isDefined)
   }
 
+  test("maxBytesPerTrigger backpressure tightens the per-trigger file cap") {
+    val feedDir = tmpDir("feedbp")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    (0 until 6).foreach { i =>
+      Files.writeString(
+        Paths.get(feedDir, "chunk=000000", s"f$i.ndjson"),
+        "x" * 10000 // ~10 KB per file
+      )
+    }
+    val base = tmpDir("bp")
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage")
+    def loop(budget: Option[Long]) = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      maxFilesPerTrigger = 8, maxBytesPerTrigger = budget
+    )
+    assert(loop(None).effectiveMaxFiles == 8)
+    // ~10 KB files, 25 KB budget -> 2 files per trigger
+    assert(loop(Some(25000L)).effectiveMaxFiles == 2)
+    // budget below one file still makes progress (floor of 1)
+    assert(loop(Some(10L)).effectiveMaxFiles == 1)
+    // huge budget: the file cap still wins
+    assert(loop(Some(Long.MaxValue / 2)).effectiveMaxFiles == 8)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)

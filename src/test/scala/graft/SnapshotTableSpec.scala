@@ -161,6 +161,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.log.latest().get.resolvedNanos == 40L)
   }
 
+  test("CommitLog.contains is O(1) per merge after the one-time key load") {
+    import graft.table.{CommitLog, CommitMeta}
+    val root = tmpDir("cl500")
+    val log = new CommitLog(root)
+    (1 to 500).foreach { v =>
+      assert(
+        log.commit(
+          CommitMeta(v.toLong, s"key-$v", 0L, 0, "`a` INT", 4,
+            Map.empty, Map.empty, Map.empty, Map.empty, Nil, 0L)
+        )
+      )
+    }
+    // a fresh instance (restart) loads keys once, then answers from memory
+    val fresh = new CommitLog(root)
+    assert(!fresh.contains("nope"))
+    val afterLoad = fresh.fileReads
+    (1 to 100).foreach(i => assert(fresh.contains(s"key-${i * 5}")))
+    assert(fresh.fileReads == afterLoad, "contains() must not re-read commit files")
+  }
+
   test("per-partition metrics and lineage are recorded") {
     val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
     val meta = t
