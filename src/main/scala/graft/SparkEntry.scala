@@ -302,10 +302,8 @@ object SparkEntry {
     // --- LSH candidates + EXACT verify (DuckDB-oracled vs all-pairs) ------
     "q_minhash_pairs" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val cands = DedupOps
-        .minhashCandidatePairs(d, "text", "doc_id", k = 5, numHashes = 32, bands = 8)
       DedupOps
-        .jaccardVerify(cands, d, "text", "doc_id", k = 5, threshold = 0.5)
+        .minhashNearDupPairs(d, "text", "doc_id", k = 5, numHashes = 32, bands = 8, threshold = 0.5)
         .select(
           col("id_a"),
           col("id_b"),
@@ -316,8 +314,10 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
       val d = pq(s, dir, "documents")
+      // radius 3 is the published 64-bit simhash near-dup operating point
+      // (Manku et al. WWW'07); the banded join guarantees recall 1 there
       DedupOps
-        .simhashPairs(d, "text", "doc_id", maxHamming = 10)
+        .simhashPairs(d, "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
     "q_winnow_fp" -> ((s, dir) => {

