@@ -44,26 +44,37 @@ object Changefeed {
     * Blank lines and unrecognized lines are dropped.
     */
   def parseLines(lines: DataFrame, withFile: Boolean = true): DataFrame = {
-    val resolved = get_json_object(col("value"), "$.resolved")
-    val updated = get_json_object(col("value"), "$.updated")
-    val stamp = coalesce(resolved, updated)
+    // ONE from_json per line (string-typed fields keep raw JSON subtrees:
+    // `after` stays the unparsed row image, `key` the raw array text) —
+    // the previous per-field get_json_object re-parsed every line 3-4x.
+    // The two-step projection keeps the parse from being duplicated by
+    // projection collapse (from_json is non-cheap, so Catalyst preserves it).
+    val envelope = StructType(
+      Seq(
+        StructField("after", StringType),
+        StructField("key", StringType),
+        StructField("updated", StringType),
+        StructField("resolved", StringType)
+      )
+    )
     // a pre-captured file column survives caching; input_file_name() does
     // not (it evaluates to "" once the scan is behind a cache node)
     val srcCol =
       if (lines.columns.contains(SRC_FILE)) col(SRC_FILE)
       else if (withFile) input_file_name()
       else lit("")
-    val parsed = lines
+    val stamp = coalesce(col("__j.resolved"), col("__j.updated"))
+    lines
+      .select(from_json(col("value"), envelope).as("__j"), srcCol.as(SRC_FILE))
       .select(
-        get_json_object(col("value"), "$.key").as(KEY),
-        get_json_object(col("value"), "$.after").as(DATA),
+        col("__j.key").as(KEY),
+        col("__j.after").as(DATA),
         hlcNanos(stamp).as(NANOS),
         hlcLogical(stamp).as(LOGICAL),
-        resolved.isNotNull.as(RESOLVED),
-        srcCol.as(SRC_FILE)
+        col("__j.resolved").isNotNull.as(RESOLVED),
+        col(SRC_FILE)
       )
       .filter(col(NANOS).isNotNull)
-    parsed
   }
 
   /** Column expression encoding one parsed-feed row back to its ndjson line.

@@ -32,13 +32,22 @@ object Envelopes {
     * `(topic, key, data, nanos, logical, is_resolved, src_file)`.
     */
   def parseWebhookLines(lines: DataFrame, withFile: Boolean = true): DataFrame = {
-    // payload elements keep after/key as raw JSON text: get_json_object
-    // pulls the array, each element is re-dissected the same way
-    val payload = from_json(
-      get_json_object(col("value"), "$.payload"),
-      ArrayType(StringType)
+    // ONE from_json per body and ONE per payload element (string fields
+    // keep raw JSON subtrees) — no repeated get_json_object re-parses
+    val bodySchema = StructType(
+      Seq(
+        StructField("payload", ArrayType(StringType)),
+        StructField("resolved", StringType)
+      )
     )
-    val resolved = get_json_object(col("value"), "$.resolved")
+    val elemSchema = StructType(
+      Seq(
+        StructField("topic", StringType),
+        StructField("key", StringType),
+        StructField("after", StringType),
+        StructField("updated", StringType)
+      )
+    )
     // pre-captured file column survives caching; input_file_name() doesn't
     val file =
       if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
@@ -59,27 +68,31 @@ object Envelopes {
         col(Changefeed.SRC_FILE)
       ).filter(col(Changefeed.NANOS).isNotNull)
 
-    val base = lines.select(col("value"), file.as(Changefeed.SRC_FILE))
+    val base = lines.select(
+      from_json(col("value"), bodySchema).as("__b"),
+      file.as(Changefeed.SRC_FILE)
+    )
     val muts = stamped(
       base
-        .select(explode(payload).as("elem"), col(Changefeed.SRC_FILE))
+        .select(explode(col("__b.payload")).as("elem"), col(Changefeed.SRC_FILE))
+        .select(from_json(col("elem"), elemSchema).as("__e"), col(Changefeed.SRC_FILE))
         .select(
-          get_json_object(col("elem"), "$.topic").as("topic"),
-          get_json_object(col("elem"), "$.key").as(Changefeed.KEY),
-          get_json_object(col("elem"), "$.after").as(Changefeed.DATA),
-          get_json_object(col("elem"), "$.updated").as("stamp"),
+          col("__e.topic").as("topic"),
+          col("__e.key").as(Changefeed.KEY),
+          col("__e.after").as(Changefeed.DATA),
+          col("__e.updated").as("stamp"),
           lit(false).as(Changefeed.RESOLVED),
           col(Changefeed.SRC_FILE)
         )
     )
     val res = stamped(
       base
-        .filter(resolved.isNotNull)
+        .filter(col("__b.resolved").isNotNull)
         .select(
           lit(null).cast(StringType).as("topic"),
           lit(null).cast(StringType).as(Changefeed.KEY),
           lit(null).cast(StringType).as(Changefeed.DATA),
-          resolved.as("stamp"),
+          col("__b.resolved").as("stamp"),
           lit(true).as(Changefeed.RESOLVED),
           col(Changefeed.SRC_FILE)
         )
@@ -101,11 +114,22 @@ object Envelopes {
     * not its wire bytes.
     */
   private def queryRowCols(rowJson: Column, pkCols: Seq[String]): Seq[Column] = {
-    val stamp = get_json_object(rowJson, "$.__crdb__.updated")
-    val event = get_json_object(rowJson, "$.__event__")
-    val keyArr = to_json(
-      array(pkCols.map(c => get_json_object(rowJson, s"$$.$c")): _*)
+    // one from_json covers the envelope fields AND the positional PK
+    // values (string fields keep raw JSON text, so numeric keys serialize
+    // exactly as they appeared on the wire)
+    val envSchema = StructType(
+      Seq(
+        StructField("__event__", StringType),
+        StructField(
+          "__crdb__",
+          StructType(Seq(StructField("updated", StringType)))
+        )
+      ) ++ pkCols.map(c => StructField(c, StringType))
     )
+    val env = from_json(rowJson, envSchema)
+    val stamp = env.getField("__crdb__").getField("updated")
+    val event = env.getField("__event__")
+    val keyArr = to_json(array(pkCols.map(env.getField): _*))
     val dataClean =
       graft.functions.GraftFunctions.jsonDropKeys(rowJson, "__event__", "__crdb__")
     Seq(
@@ -156,15 +180,23 @@ object Envelopes {
       if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
       else if (withFile) input_file_name()
       else lit("")
-    val base = lines.select(col("value"), file.as(Changefeed.SRC_FILE))
+    val bodySchema = StructType(
+      Seq(
+        StructField("payload", ArrayType(StringType)),
+        StructField(
+          "__crdb__",
+          StructType(Seq(StructField("resolved", StringType)))
+        )
+      )
+    )
+    val base = lines.select(
+      from_json(col("value"), bodySchema).as("__b"),
+      file.as(Changefeed.SRC_FILE)
+    )
 
     // payload elements stay raw JSON text; each is one CDC-query row
-    val payload = from_json(
-      get_json_object(col("value"), "$.payload"),
-      ArrayType(StringType)
-    )
     val muts = base
-      .select(explode(payload).as("elem"), col(Changefeed.SRC_FILE))
+      .select(explode(col("__b.payload")).as("elem"), col(Changefeed.SRC_FILE))
       .select(
         queryRowCols(col("elem"), pkCols) ++ Seq(
           lit(false).as(Changefeed.RESOLVED),
@@ -173,7 +205,7 @@ object Envelopes {
       )
       .filter(col(Changefeed.NANOS).isNotNull)
 
-    val resolved = get_json_object(col("value"), "$.__crdb__.resolved")
+    val resolved = col("__b.__crdb__.resolved")
     val res = base
       .filter(resolved.isNotNull)
       .select(
