@@ -462,6 +462,74 @@ object SparkEntry {
           expr("bit_xor(xxhash64(repo, path, sha2(content, 256)))").as("state_fp")
         )
         .orderBy("repo")
+    }),
+    "q_multitable_e2e" -> ((s, dir) => {
+      // whole multi-table engine smoke: a deterministic webhook feed with
+      // FK-ordered tables, LWW updates, a delete, and two resolved fences,
+      // routed by topic and applied level-by-level; output = per-table
+      // final counts + content fingerprints (constant => oracled golden)
+      import graft.loop.{MultiTableLoop, TableTarget}
+      import graft.stage.StagedStore
+      import graft.table.SnapshotTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-entry-mtl")
+        .toString
+      val feedDir = s"$base/feed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+      def mut(topic: String, pk: Int, v: String, ts: Long): String =
+        s"""{"after":{"pk":$pk,"v":"$v"},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+      def del(topic: String, pk: Int, ts: Long): String =
+        s"""{"after":null,"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+      val f1 = Seq(
+        s"""{"payload":[${(1 to 8).map(i => mut("parent", i, s"p$i", 10 + i)).mkString(",")}],"length":8}""",
+        s"""{"payload":[${(1 to 12).map(i => mut("child", i, s"c$i", 20 + i)).mkString(",")}],"length":12}""",
+        s"""{"resolved":"40.0000000000"}"""
+      )
+      val f2 = Seq(
+        // second fence: LWW updates, one parent delete, one late child
+        s"""{"payload":[${mut("parent", 3, "p3b", 45)},${del("parent", 7, 46)},${mut("child", 5, "c5b", 47)},${mut("child", 2, "c2-late", 15)}],"length":4}""",
+        s"""{"resolved":"60.0000000000"}"""
+      )
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(feedDir, "0001.json"), f1.mkString("\n"))
+      val p2 = java.nio.file.Paths.get(feedDir, "0002.json")
+      java.nio.file.Files.writeString(p2, f2.mkString("\n"))
+      // the file source orders by mtime: make delivery order deterministic
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(feedDir, "0001.json"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      java.nio.file.Files.setLastModifiedTime(
+        p2, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+
+      val schema = StructType(
+        Seq(StructField("pk", IntegerType), StructField("v", StringType))
+      )
+      def target(name: String) = TableTarget(
+        TableSpec(schema, Seq("pk")),
+        new SnapshotTable(s, s"$base/$name/table", numBuckets = 4),
+        new StagedStore(s, s"$base/$name/stage", bucketNanos = 100L)
+      )
+      val targets = Map("parent" -> target("parent"), "child" -> target("child"))
+      val loop = new MultiTableLoop(
+        s, feedDir, targets,
+        dependsOn = Map("child" -> Set("parent")),
+        checkpointDir = s"$base/checkpoint",
+        saltBuckets = 4,
+        maxFilesPerTrigger = 1
+      )
+      loop.runAvailableNow()
+      targets.toSeq
+        .map { case (name, t) =>
+          t.table
+            .read()
+            .agg(
+              count(lit(1)).as("n_rows"),
+              expr("bit_xor(xxhash64(pk, v))").as("state_fp")
+            )
+            .select(lit(name).as("tbl"), col("n_rows"), col("state_fp"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("tbl")
     })
   )
 
@@ -652,6 +720,13 @@ object SparkEntry {
         |  ('repo-5', CAST(47 AS BIGINT), CAST(8815659288587902798 AS BIGINT)),
         |  ('repo-6', CAST(49 AS BIGINT), CAST(-88058474467934700 AS BIGINT))
         |) AS t(repo, n_paths, state_fp) ORDER BY repo""".stripMargin,
+    // q_multitable_e2e: deterministic multi-table webhook feed (inline,
+    // sfDir-independent) => the per-table final state is a constant
+    "q_multitable_e2e" ->
+      """SELECT * FROM (VALUES
+        |  ('child', CAST(12 AS BIGINT), CAST(-3758549560234503733 AS BIGINT)),
+        |  ('parent', CAST(7 AS BIGINT), CAST(3852797442261014710 AS BIGINT))
+        |) AS t(tbl, n_rows, state_fp) ORDER BY tbl""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
