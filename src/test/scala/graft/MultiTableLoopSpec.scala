@@ -74,4 +74,54 @@ class MultiTableLoopSpec extends SparkSpec {
     // nothing staged beyond the fence => no pending topics (S12 analog)
     assert(loop.pendingTopics().isEmpty)
   }
+
+  test("appendMultiTopic: one-pass staging, idempotent replays, per-topic drift, seq bumps") {
+    val base = tmpDir("amt")
+    val t1 = new StagedStore(spark, s"$base/t1", bucketNanos = 100L)
+    val t2 = new StagedStore(spark, s"$base/t2", bucketNanos = 1000L)
+    val stores = Map("t1" -> t1, "t2" -> t2)
+    val validate = Map(
+      "t1" -> ((1, Seq("pk"))),
+      "t2" -> ((1, Seq("pk")))
+    )
+    val muts = Seq(
+      ("t1", "[1]", """{"pk":1,"v":"a"}""", 50L, 0, "f"),
+      ("t1", "[2]", """{"pk":2,"v":"b"}""", 150L, 0, "f"), // second ts bucket
+      ("t2", "[7]", """{"pk":7,"w":9}""", 50L, 0, "f")
+    ).toDF("topic", "key", "data", "nanos", "logical", "src_file")
+
+    StagedStore.appendMultiTopic(muts, batchId = 1L, stores, validate)
+    // rows landed in the right stores and ts buckets; seq stamped per store
+    val r1 = t1.readAll().orderBy("nanos")
+    assert(r1.count() == 2)
+    assert(
+      r1.select("ts_bucket").as[Long].collect().toSet == Set(0L, 1L)
+    ) // bucketNanos=100 => buckets 0 and 1
+    assert(t2.readAll().count() == 1)
+    assert(t1.currentSeq() == 1L && t2.currentSeq() == 1L)
+    assert(t1.observedFields() == Set("pk", "v"))
+    assert(t2.observedFields() == Set("pk", "w"))
+
+    // replay of the same batch id is a no-op (markers)
+    StagedStore.appendMultiTopic(muts, batchId = 1L, stores, validate)
+    assert(t1.readAll().count() == 2 && t2.readAll().count() == 1)
+    assert(t1.currentSeq() == 1L)
+
+    // a second batch bumps seq and appends
+    val muts2 = Seq(("t1", "[3]", """{"pk":3,"v":"c"}""", 60L, 0, "f"))
+      .toDF("topic", "key", "data", "nanos", "logical", "src_file")
+    StagedStore.appendMultiTopic(muts2, batchId = 2L, stores, validate)
+    assert(t1.currentSeq() == 2L)
+    assert(t1.readAll().count() == 3)
+    // t2 had no rows in batch 2 but gets its marker (replay-safe) anyway
+    assert(t2.readAll().count() == 1)
+
+    // per-topic drift: a missing PK in ONE topic fails the whole batch
+    val bad = Seq(("t2", "[9]", """{"w":1}""", 70L, 0, "f"))
+      .toDF("topic", "key", "data", "nanos", "logical", "src_file")
+    val e = intercept[graft.model.SchemaDriftException] {
+      StagedStore.appendMultiTopic(bad, batchId = 3L, stores, validate)
+    }
+    assert(e.getMessage.contains("[t2]"))
+  }
 }
