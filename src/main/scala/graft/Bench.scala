@@ -57,7 +57,8 @@ object Bench {
           StructField("content", StringType)
         )
       )
-      val table = new SnapshotTable(spark, s"$workDir/table", numBuckets = 64)
+      val table = new SnapshotTable(spark, s"$workDir/table", numBuckets = 64,
+        compactEvery = 4)
       val stage = new StagedStore(
         spark,
         s"$workDir/stage",

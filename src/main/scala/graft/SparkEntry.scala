@@ -432,7 +432,7 @@ object SparkEntry {
         disorderBlock = 100L
       )
       Generator.writeFeed(s, fs, s"$base/feed", parallelism = 4)
-      val table = new SnapshotTable(s, s"$base/table", numBuckets = 8)
+      val table = new SnapshotTable(s, s"$base/table", numBuckets = 8, compactEvery = 3)
       val stage = new StagedStore(s, s"$base/stage", bucketNanos = fs.nanosStep * 500)
       val payload = StructType(
         Seq(
@@ -506,7 +506,7 @@ object SparkEntry {
       )
       def target(name: String) = TableTarget(
         TableSpec(schema, Seq("pk")),
-        new SnapshotTable(s, s"$base/$name/table", numBuckets = 4),
+        new SnapshotTable(s, s"$base/$name/table", numBuckets = 4, compactEvery = 2),
         new StagedStore(s, s"$base/$name/stage", bucketNanos = 100L)
       )
       val targets = Map("parent" -> target("parent"), "child" -> target("child"))

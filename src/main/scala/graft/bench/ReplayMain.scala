@@ -67,7 +67,10 @@ object ReplayMain {
         StructField("content", StringType)
       )
     )
-    val table = new SnapshotTable(spark, s"$workDir/table", numBuckets = 64)
+    // merge-on-read cadence 4: three delta merges per compaction — the
+    // steady-state write-amplification knob exercised end-to-end
+    val table = new SnapshotTable(spark, s"$workDir/table", numBuckets = 64,
+      compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "4").toInt)
     val stage = new StagedStore(spark, s"$workDir/stage",
       bucketNanos = spec.nanosStep * math.max(1000L, numEvents / 16))
     val loop = new ReplayLoop(

@@ -228,7 +228,9 @@ final class ReplayLoop(
         .toSet
       val gated = ApplyPlanner.casFilter(
         cached,
-        table.readRaw(Some(touched)).filter(!col(SnapshotTable.DELETED)),
+        // readCurrent: exactly one (max-HLC) row per key even when the
+        // table carries merge-on-read deltas
+        table.readCurrent(Some(touched)).filter(!col(SnapshotTable.DELETED)),
         spec.pkCols,
         spec.config.casColumns
       )

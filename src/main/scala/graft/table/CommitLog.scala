@@ -17,11 +17,19 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * @param resolvedNanos/resolvedLogical the resolved fence this commit
   *                       carried the table to (0 for immediate mode)
   * @param schemaDdl      snapshot schema at this version (DDL string)
-  * @param buckets        bucket id -> relative data directory holding that
-  *                       bucket's rows; untouched buckets point at files of
-  *                       earlier versions (copy-on-write reuse)
+  * @param buckets        bucket id -> relative BASE data directory holding
+  *                       that bucket's compacted rows; untouched buckets
+  *                       point at files of earlier versions (copy-on-write
+  *                       reuse)
   * @param bucketSchemas  bucket id -> version whose schema its files carry
   *                       (needed to read old files after type widening)
+  * @param deltas         bucket id -> ordered relative DELTA directories
+  *                       appended since the bucket's last compaction
+  *                       (merge-on-read: a delta merge writes only the
+  *                       batch's rows; readers fold base ∪ deltas per key)
+  * @param deltaSchemas   delta directory -> schema DDL its files carry
+  * @param pkCols         the table's merge key, recorded so readers can
+  *                       fold multi-version rows without a spec
   * @param metrics        applied-mutation counters (upserts/deletes/rows)
   * @param partitionMetrics per-bucket applied row counts (lineage/metrics
   *                       requirement of the north rule)
@@ -36,6 +44,9 @@ final case class CommitMeta(
     numBuckets: Int,
     buckets: Map[String, String],
     bucketSchemas: Map[String, String],
+    deltas: Map[String, Seq[String]],
+    deltaSchemas: Map[String, String],
+    pkCols: Seq[String],
     metrics: Map[String, Long],
     partitionMetrics: Map[String, Long],
     lineage: Seq[String],

@@ -54,24 +54,54 @@ final class SnapshotTable(
       * A bucket directory with several part files is already the read path's
       * normal case, and footer counts sum per-bucket across files.
       */
-    val writersPerBucket: Int = 4
+    val writersPerBucket: Int = 4,
+    /** Merge-on-read compaction cadence. 1 (default) = pure copy-on-write:
+      * every merge rewrites its touched buckets' full contents. N > 1 = a
+      * touched bucket accumulates up to N-1 DELTA directories (each merge
+      * writes only the batch's own rows — write work O(batch), not
+      * O(touched buckets)); once a touched bucket reaches the cap, the
+      * merge compacts (base ∪ deltas ∪ batch → new base, deltas cleared,
+      * tombstones GC'd). Readers fold base ∪ deltas per key, so the visible
+      * state is identical at every cadence — the knob trades read-side fold
+      * work for an N-fold cut in steady-state write amplification, the same
+      * trade Iceberg/Hudi MOR tables make.
+      */
+    val compactEvery: Int = 1
 ) {
   import SnapshotTable._
+  require(compactEvery >= 1)
 
   val log = new CommitLog(root)
 
   // ---------------------------------------------------------------- reading
 
   /** Current visible rows: payload columns only, tombstones filtered out. */
-  def read(): DataFrame = {
-    val raw = readRaw()
-    raw
+  def read(): DataFrame =
+    readCurrent()
       .filter(!col(DELETED))
       .drop(META_COLS: _*)
+
+  /** One CURRENT row per key (max-HLC fold over base ∪ deltas), incl.
+    * HLC/tombstone metadata. Equal to [[readRaw]] when no deltas exist.
+    */
+  def readCurrent(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val raw = readRaw(onlyBuckets)
+    val meta = log.latest()
+    val pks = meta.map(m => Option(m.pkCols).getOrElse(Nil)).getOrElse(Nil)
+    val hasDeltas = meta.exists(m => deltasOf(Some(m)).nonEmpty)
+    if (!hasDeltas || pks.isEmpty) raw
+    else {
+      val hlcTuple = struct(col(NANOS), col(LOGICAL))
+      raw
+        .groupBy(pks.map(col): _*)
+        .agg(max_by(struct(raw.columns.map(col): _*), hlcTuple).as("__row"))
+        .select(raw.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+    }
   }
 
-  /** Current rows incl. HLC/tombstone metadata, optionally restricted to a
-    * set of buckets (path-level pruning: only those buckets' files are read).
+  /** Raw rows (possibly several HLC versions per key when deltas exist),
+    * optionally restricted to a set of buckets (path-level pruning: only
+    * those buckets' base + delta files are read).
     */
   def readRaw(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     log.latest() match {
@@ -85,22 +115,32 @@ final class SnapshotTable(
         val chosen = meta.buckets.filter { case (b, _) =>
           onlyBuckets.forall(_.contains(b.toInt))
         }
-        if (chosen.isEmpty) {
+        val deltaSchemaOf: Map[String, String] =
+          Option(meta.deltaSchemas).getOrElse(Map.empty)
+        val chosenDeltas: Seq[(String, String)] = deltasOf(Some(meta)).toSeq
+          .filter { case (b, _) => onlyBuckets.forall(_.contains(b.toInt)) }
+          .flatMap { case (_, dirs) =>
+            dirs.map(d => deltaSchemaOf.getOrElse(d, meta.schemaDdl) -> d)
+          }
+        // group dirs (base + delta) by the schema their files carry; read
+        // each group with its own (exact) schema, then cast up to the
+        // current snapshot schema — old files are never rewritten on
+        // evolution
+        val entries: Seq[(String, String)] =
+          chosen.toSeq.map { case (b, rel) =>
+            meta.bucketSchemas.getOrElse(b, meta.schemaDdl) -> rel
+          } ++ chosenDeltas
+        if (entries.isEmpty) {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             target
           )
         } else {
-          // group bucket dirs by the schema their files carry; read each
-          // group with its own (exact) schema, then cast up to the current
-          // snapshot schema — old files are never rewritten on evolution
-          val groups = chosen.toSeq.groupBy { case (b, _) =>
-            meta.bucketSchemas.getOrElse(b, meta.schemaDdl)
-          }
-          groups
-            .map { case (ddl, entries) =>
+          entries
+            .groupBy(_._1)
+            .map { case (ddl, group) =>
               val fileSchema = withMeta(StructType.fromDDL(ddl))
-              val paths = entries.map { case (_, rel) => s"$root/$rel" }
+              val paths = group.map { case (_, rel) => s"$root/$rel" }
               val df = spark.read.schema(fileSchema).parquet(paths: _*)
               alignTo(df, target)
             }
@@ -108,6 +148,9 @@ final class SnapshotTable(
         }
     }
   }
+
+  private def deltasOf(meta: Option[CommitMeta]): Map[String, Seq[String]] =
+    meta.flatMap(m => Option(m.deltas)).getOrElse(Map.empty)
 
   def payloadSchema(): Option[StructType] =
     log.latest().map(m => StructType.fromDDL(m.schemaDdl))
@@ -127,7 +170,11 @@ final class SnapshotTable(
     val keep = versions.takeRight(keepVersions)
     val referenced: Set[String] = keep
       .map(log.read)
-      .flatMap(_.buckets.values.map(_.split("/").take(2).mkString("/")))
+      .flatMap { m =>
+        val baseDirs = m.buckets.values
+        val deltaDirs = deltasOf(Some(m)).values.flatten
+        (baseDirs ++ deltaDirs).map(_.split("/").take(2).mkString("/"))
+      }
       .toSet // e.g. "data/v00000003"
     val dataRoot = java.nio.file.Paths.get(root, "data")
     if (!java.nio.file.Files.exists(dataRoot)) return 0
@@ -248,6 +295,10 @@ final class SnapshotTable(
       .map(_.getInt(0))
       .toSet
 
+    val prevDeltas = deltasOf(prev)
+    val prevDeltaSchemas: Map[String, String] =
+      prev.flatMap(m => Option(m.deltaSchemas)).getOrElse(Map.empty)
+
     if (touched.isEmpty) {
       bucketed.unpersist()
       // empty batch: still record the fence advance as a metadata-only commit
@@ -263,6 +314,9 @@ final class SnapshotTable(
         numBuckets = numBuckets,
         buckets = prev.map(_.buckets).getOrElse(Map.empty),
         bucketSchemas = prev.map(_.bucketSchemas).getOrElse(Map.empty),
+        deltas = prevDeltas,
+        deltaSchemas = prevDeltaSchemas,
+        pkCols = pkCols,
         metrics = Map("rows_written" -> 0L, "touched_buckets" -> 0L) ++ extraMetrics,
         partitionMetrics = Map.empty,
         lineage = lineage,
@@ -271,7 +325,20 @@ final class SnapshotTable(
       return if (log.commit(meta)) Some(meta) else None
     }
 
-    val current = alignTo(readRaw(Some(touched)), target)
+    // merge-on-read: while every touched bucket is under its delta cap,
+    // write ONLY the batch's own rows as a new delta generation — no
+    // current-read, no COW rewrite. Any touched bucket at the cap forces a
+    // compaction merge (base ∪ deltas ∪ batch → new base) for all touched.
+    val deltaMode = compactEvery > 1 && prev.nonEmpty &&
+      touched.forall(b =>
+        prevDeltas.getOrElse(b.toString, Nil).size < compactEvery - 1
+      )
+
+    // compaction reads base ∪ existing deltas of the touched buckets; a
+    // delta merge reads nothing
+    val current =
+      if (deltaMode) None
+      else Some(alignTo(readRaw(Some(touched)), target))
 
     val prevFence = prev
       .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
@@ -305,19 +372,30 @@ final class SnapshotTable(
       }
       .getOrElse(Hlc.Zero)
 
-    val all = current.unionByName(alignedBatch)
     val hlcTuple = struct(col(NANOS), col(LOGICAL))
-    val winners = all
-      .groupBy(pkCols.map(col): _*)
-      .agg(max_by(struct(all.columns.map(col): _*), hlcTuple).as("__row"))
-      .select(all.columns.map(c => col(s"__row.`$c`").as(c)): _*)
-      // GC tombstones at/below the lagged horizon: nothing older can arrive
-      // within the tolerated disorder window
-      .filter(
-        !col(DELETED) ||
-          struct(col(NANOS), col(LOGICAL)) >
-          struct(lit(gcHorizon.nanos), lit(gcHorizon.logical))
-      )
+    def lwwFold(df: DataFrame): DataFrame =
+      df.groupBy(pkCols.map(col): _*)
+        .agg(max_by(struct(df.columns.map(col): _*), hlcTuple).as("__row"))
+        .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+
+    val winners = current match {
+      case None =>
+        // delta merge: per-key LWW within the batch only (keeps the delta
+        // minimal; readers fold across generations). Tombstones are NOT
+        // GC'd here — they must survive until compaction folds them
+        // against any earlier base/delta versions of the key.
+        lwwFold(alignedBatch)
+      case Some(cur) =>
+        // compaction: fold everything, then GC tombstones at/below the
+        // lagged horizon — nothing older can arrive within the tolerated
+        // disorder window
+        lwwFold(cur.unionByName(alignedBatch))
+          .filter(
+            !col(DELETED) ||
+              struct(col(NANOS), col(LOGICAL)) >
+              struct(lit(gcHorizon.nanos), lit(gcHorizon.logical))
+          )
+    }
 
     val version = prev.map(_.version + 1).getOrElse(1L)
     val dataRel = f"data/v$version%08d"
@@ -355,18 +433,40 @@ final class SnapshotTable(
     val perBucket: Seq[(Int, Long)] = footerCounts(dataDir)
     bucketed.unpersist()
 
-    val newBuckets: Map[String, String] =
-      prev.map(_.buckets).getOrElse(Map.empty) ++
-        perBucket.map { case (b, _) => b.toString -> s"$dataRel/__bp=$b" }.toMap
-    // a touched bucket may end up empty (all rows deleted + GC'd): drop it
-    val emptied = touched.map(_.toString) --
-      perBucket.map(_._1.toString).toSet
-    val finalBuckets = newBuckets -- emptied
-
-    val newBucketSchemas: Map[String, String] =
-      (prev.map(_.bucketSchemas).getOrElse(Map.empty) ++
-        perBucket.map { case (b, _) => b.toString -> evolved.toDDL }.toMap)
-        .filter { case (b, _) => finalBuckets.contains(b) }
+    val (finalBuckets, newBucketSchemas, newDeltas, newDeltaSchemas) =
+      if (deltaMode) {
+        // base untouched; register this version's bucket dirs as one more
+        // delta generation per bucket that actually produced rows
+        val appended = prevDeltas ++ perBucket.map { case (b, _) =>
+          val dir = s"$dataRel/__bp=$b"
+          b.toString -> (prevDeltas.getOrElse(b.toString, Nil) :+ dir)
+        }.toMap
+        val ds = prevDeltaSchemas ++ perBucket.map { case (b, _) =>
+          s"$dataRel/__bp=$b" -> evolved.toDDL
+        }.toMap
+        (
+          prev.map(_.buckets).getOrElse(Map.empty),
+          prev.map(_.bucketSchemas).getOrElse(Map.empty),
+          appended,
+          ds
+        )
+      } else {
+        val newBuckets: Map[String, String] =
+          prev.map(_.buckets).getOrElse(Map.empty) ++
+            perBucket.map { case (b, _) => b.toString -> s"$dataRel/__bp=$b" }.toMap
+        // a touched bucket may end up empty (all rows deleted + GC'd): drop it
+        val emptied = touched.map(_.toString) --
+          perBucket.map(_._1.toString).toSet
+        val fb = newBuckets -- emptied
+        val bs = (prev.map(_.bucketSchemas).getOrElse(Map.empty) ++
+          perBucket.map { case (b, _) => b.toString -> evolved.toDDL }.toMap)
+          .filter { case (b, _) => fb.contains(b) }
+        // compaction folds the touched buckets' deltas into the new base
+        val remainingDeltas = prevDeltas -- touched.map(_.toString)
+        val keptDirs = remainingDeltas.values.flatten.toSet
+        val ds = prevDeltaSchemas.filter { case (d, _) => keptDirs.contains(d) }
+        (fb, bs, remainingDeltas, ds)
+      }
 
     val rowsWritten = asLong("rows")
     val tombstones = asLong("tombstones")
@@ -380,11 +480,15 @@ final class SnapshotTable(
       numBuckets = numBuckets,
       buckets = finalBuckets,
       bucketSchemas = newBucketSchemas,
+      deltas = newDeltas,
+      deltaSchemas = newDeltaSchemas,
+      pkCols = pkCols,
       metrics = Map(
         "rows_written" -> rowsWritten,
         "tombstones" -> tombstones,
         "live_rows_in_touched_buckets" -> (rowsWritten - tombstones),
-        "touched_buckets" -> touched.size.toLong
+        "touched_buckets" -> touched.size.toLong,
+        "delta_merge" -> (if (deltaMode) 1L else 0L)
       ) ++ extraMetrics,
       partitionMetrics =
         perBucket.map { case (b, n) => b.toString -> n }.toMap,

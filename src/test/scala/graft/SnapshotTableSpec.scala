@@ -161,6 +161,63 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.log.latest().get.resolvedNanos == 40L)
   }
 
+  test("merge-on-read: delta merges write O(batch), state equals pure COW, compaction folds") {
+    val mor = new SnapshotTable(spark, tmpDir("mor"), numBuckets = 4, compactEvery = 3)
+    val cow = new SnapshotTable(spark, tmpDir("cow"), numBuckets = 4, compactEvery = 1)
+
+    def state(t: SnapshotTable): Set[(String, String, String)] =
+      t.read().select("repo", "path", "content")
+        .as[(String, String, String)].collect().toSet
+
+    val batches = Seq(
+      // v1: base creation (first merge always compacts)
+      (batch((0 until 40).map(i => (s"r$i", "p", "v1", 10L, 0, false))), "k1", Hlc(10, 0)),
+      // v2: small update batch -> DELTA (no COW of the 40-row buckets)
+      (batch(Seq(("r3", "p", "v2", 20L, 0, false), ("r7", "p", null, 21L, 0, true))), "k2", Hlc(21, 0)),
+      // v3: another delta
+      (batch(Seq(("r3", "p", "v3", 30L, 0, false), ("rNew", "p", "n1", 31L, 0, false))), "k3", Hlc(31, 0)),
+      // v4: touches r3, whose bucket now holds 2 deltas (cap for
+      // compactEvery=3) -> compaction of the touched buckets
+      (batch(Seq(("r3", "p", "v4", 40L, 0, false))), "k4", Hlc(40, 0)),
+      // v5: delta again after compaction
+      (batch(Seq(("r3", "p", "v5", 50L, 0, false))), "k5", Hlc(50, 0))
+    )
+    batches.foreach { case (b, k, f) =>
+      val mMor = mor.merge(b, pk, k, f).get
+      val mCow = cow.merge(b, pk, k, f).get
+      // the visible state is identical at every cadence
+      assert(state(mor) == state(cow), s"state diverged at $k")
+      // COW writes at least as many rows as MOR per merge
+      assert(mMor.metric("rows_written").get <= mCow.metric("rows_written").get)
+    }
+    val metas = mor.log.all()
+    // v2, v3 were deltas (tiny writes); v4 compacted; v5 delta again
+    assert(metas.find(_.idempotenceKey == "k2").get.metric("delta_merge").get == 1L)
+    assert(metas.find(_.idempotenceKey == "k2").get.metric("rows_written").get == 2L)
+    assert(metas.find(_.idempotenceKey == "k3").get.metric("delta_merge").get == 1L)
+    assert(metas.find(_.idempotenceKey == "k4").get.metric("delta_merge").get == 0L)
+    assert(metas.find(_.idempotenceKey == "k5").get.metric("delta_merge").get == 1L)
+    // compaction (per-bucket cap) cleared the TOUCHED bucket's deltas;
+    // other buckets' deltas survive; v5 re-opened one delta generation
+    val v3 = metas.find(_.idempotenceKey == "k3").get
+    val v4 = metas.find(_.idempotenceKey == "k4").get
+    val v5 = metas.find(_.idempotenceKey == "k5").get
+    assert(v4.deltas.values.flatten.size < v3.deltas.values.flatten.size)
+    assert(v5.deltas.values.flatten.size == v4.deltas.values.flatten.size + 1)
+    // deleted key stays dead through delta generations
+    assert(!state(mor).exists(_._1 == "r7"))
+    // readCurrent folds to exactly one row per key
+    assert(mor.readCurrent().groupBy("repo", "path").count().filter($"count" > 1).count() == 0)
+
+    // vacuum must preserve every referenced base AND delta dir
+    val before = state(mor)
+    mor.vacuum(keepVersions = 2)
+    assert(state(mor) == before)
+
+    // idempotent replay still no-ops in delta mode
+    assert(mor.merge(batches(4)._1, pk, "k5", Hlc(50, 0)).isEmpty)
+  }
+
   test("CommitLog.contains is O(1) per merge after the one-time key load") {
     import graft.table.{CommitLog, CommitMeta}
     val root = tmpDir("cl500")
@@ -169,7 +226,8 @@ class SnapshotTableSpec extends SparkSpec {
       assert(
         log.commit(
           CommitMeta(v.toLong, s"key-$v", 0L, 0, "`a` INT", 4,
-            Map.empty, Map.empty, Map.empty, Map.empty, Nil, 0L)
+            Map.empty, Map.empty, Map.empty, Map.empty, Nil,
+            Map.empty, Map.empty, Nil, 0L)
         )
       )
     }
