@@ -75,13 +75,13 @@ final class MultiTableLoop(
       .sorted
 
   def processBatch(linesRaw: DataFrame, batchId: Long): Unit = {
-    // each topic filters the same batch; parse once and cache the parsed
-    // rows (src_file captured pre-cache, as in ReplayLoop)
-    val lines = linesRaw
-      .select(col("value"), input_file_name().as(Changefeed.SRC_FILE))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try processBatchCached(lines, batchId)
-    finally lines.unpersist()
+    // NOT cached: the one-pass multi-topic staging reads the batch once and
+    // the resolved scan re-reads only "resolved"-bearing lines — re-scanning
+    // text beats building a columnar cache (see ReplayLoop.processBatch)
+    processBatchCached(
+      linesRaw.select(col("value"), input_file_name().as(Changefeed.SRC_FILE)),
+      batchId
+    )
   }
 
   private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {

@@ -100,14 +100,16 @@ final class ReplayLoop(
     * replay and tests; the streaming query calls this via foreachBatch.
     */
   def processBatch(linesRaw: DataFrame, batchId: Long): Unit = {
-    // one batch feeds several passes (resolved scan, staging append,
-    // lineage); cache the raw lines instead of re-reading the files.
-    // input_file_name() must be captured BEFORE the cache node.
-    val lines = linesRaw
-      .select(col("value"), input_file_name().as(Changefeed.SRC_FILE))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try processBatchCached(lines, batchId)
-    finally lines.unpersist()
+    // NOT cached: the batch feeds three passes (staging append, resolved
+    // scan, lineage), but re-scanning raw text from the page cache with the
+    // single-from_json parse is measurably cheaper than building a
+    // multi-GB columnar cache of the lines (which also made 32 concurrent
+    // cache-builder tasks the peak-heap hotspot). input_file_name() is
+    // captured per-scan, so every pass sees the same file column.
+    processBatchCached(
+      linesRaw.select(col("value"), input_file_name().as(Changefeed.SRC_FILE)),
+      batchId
+    )
   }
 
   private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {
