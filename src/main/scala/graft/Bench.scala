@@ -72,6 +72,9 @@ object Bench {
         s"$workDir/checkpoint",
         TableSpec(payload, Seq("repo", "path")),
         saltBuckets = 64,
+        // two catch-up batches: measured faster than a single all-files
+        // batch at both parallelism levels (the second batch's stage-append
+        // overlaps the first batch's lingering write-side work)
         maxFilesPerTrigger = 16
       )
       val t0 = System.nanoTime()
@@ -173,6 +176,17 @@ object Bench {
     val (eps4x, fp4x) = runs4x.maxBy(_._1)
     val efficiency = (eps4x / epsBase) / 4.0
     val stateMatch = fpBase == fp4x
+
+    // reclaim the scratch feed/tables: a 4M-event run leaves ~14GB behind,
+    // and repeated runs can fill the disk out from under the NEXT bench
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(benchRoot))
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -13,11 +13,11 @@ import org.apache.spark.sql.types._
   * {"resolved":"<nanos>.<logical10>"}
   * }}}
   *
-  * Parsing is fully declarative: `get_json_object` extracts raw JSON subtrees
-  * (so `after` stays an unparsed JSON string — payload decoding against the
-  * target schema happens later, with explicit types), and the HLC stamp is
-  * split with native string functions. Everything stays inside whole-stage
-  * codegen; no UDFs.
+  * Parsing is fully declarative: one `from_json` per line whose string-typed
+  * fields keep raw JSON subtrees (so `after` stays an unparsed JSON string —
+  * payload decoding against the target schema happens later, with explicit
+  * types), and the HLC stamp is split with native string functions.
+  * Everything stays inside whole-stage codegen; no UDFs.
   */
 object Changefeed {
 

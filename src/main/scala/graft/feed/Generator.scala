@@ -255,7 +255,7 @@ object Generator {
     // writes land with arbitrary mtimes, which would reorder arrival and
     // break the resolved protocol (markers before their mutations). Stamp
     // strictly increasing mtimes in chunk order. (The engine tolerates
-    // reordering anyway — window lower bound Zero — but a protocol-correct
+    // reordering anyway — the stage_seq late-delivery branch — but a protocol-correct
     // feed is the realistic baseline.)
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
