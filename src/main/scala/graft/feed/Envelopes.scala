@@ -151,14 +151,52 @@ object Envelopes {
       withFile: Boolean = true
   ): DataFrame = {
     graft.functions.GraftFunctions.register(lines.sparkSession)
-    lines
+    val file =
+      if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
+      else if (withFile) input_file_name()
+      else lit("")
+    val base = lines.select(col("value"), file.as(Changefeed.SRC_FILE))
+    val muts = base
       .select(
         queryRowCols(col("value"), pkCols) ++ Seq(
           lit(false).as(Changefeed.RESOLVED),
-          (if (withFile) input_file_name() else lit("")).as(Changefeed.SRC_FILE)
+          col(Changefeed.SRC_FILE)
         ): _*
       )
       .filter(col(Changefeed.NANOS).isNotNull)
+
+    // in-stream resolved markers `{"__crdb__":{"resolved":"<hlc>"}}` — the
+    // webhook-query marker shape carried over the ndjson transport. (The
+    // reference signals query-feed resolved timestamps as URL-side
+    // `<33-digit>.RESOLVED` requests, resolved_query.go:13-48; a file feed
+    // has no URL side-channel, so the marker rides the stream exactly like
+    // the plain ndjson envelope's `{"resolved":...}` lines.)
+    val resolved = from_json(
+      col("value"),
+      StructType(
+        Seq(
+          StructField(
+            "__crdb__",
+            StructType(Seq(StructField("resolved", StringType)))
+          )
+        )
+      )
+    ).getField("__crdb__").getField("resolved")
+    val res = base
+      .select(
+        lit(null).cast(StringType).as(Changefeed.KEY),
+        lit(null).cast(StringType).as(Changefeed.DATA),
+        substring_index(resolved, ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          resolved.contains("."),
+          substring_index(resolved, ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        lit(true).as(Changefeed.RESOLVED),
+        col(Changefeed.SRC_FILE)
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+
+    muts.unionByName(res)
   }
 
   /** Parse webhook CDC-query bodies (column `value`) — the v23.1 webhook

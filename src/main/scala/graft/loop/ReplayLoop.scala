@@ -65,7 +65,16 @@ final class ReplayLoop(
       * from the observed feed file sizes at start; the smaller of this and
       * `maxFilesPerTrigger` wins.
       */
-    val maxBytesPerTrigger: Option[Long] = None
+    val maxBytesPerTrigger: Option[Long] = None,
+    /** Envelope codec: raw lines `(value, src_file)` → the unified feed
+      * schema. Defaults to the plain ndjson changefeed; pass
+      * `Envelopes.parseQueryLines(_, pkCols)` for CDC-query feeds or
+      * `Envelopes.parseWebhookQueryLines(_, pkCols)` for webhook-query
+      * feeds — the loop machinery (staging, fencing, merge) is
+      * envelope-agnostic, mirroring the reference's per-URL handler
+      * dispatch (internal/source/cdc/handler.go).
+      */
+    val parse: DataFrame => DataFrame = Changefeed.parseLines(_)
 ) {
 
   /** current spec: schema follows the table's committed schema */
@@ -113,7 +122,7 @@ final class ReplayLoop(
   }
 
   private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {
-    val parsed = Changefeed.parseLines(lines)
+    val parsed = parse(lines)
     val muts = parsed
       .filter(!col(Changefeed.RESOLVED))
       .select("key", "data", "nanos", "logical", "src_file")
@@ -136,8 +145,10 @@ final class ReplayLoop(
     }
 
     // cheap second scan: only lines containing a resolved marker are parsed
-    val resolvedRows = Changefeed
-      .parseLines(lines.filter(col("value").contains("\"resolved\"")))
+    // (every supported envelope spells its marker with a "resolved" key)
+    val resolvedRows = parse(
+      lines.filter(col("value").contains("\"resolved\""))
+    )
       .filter(col(Changefeed.RESOLVED))
       .agg(max(struct(col("nanos"), col("logical"))).as("m"))
       .collect()

@@ -241,6 +241,57 @@ class ReplayLoopSpec extends SparkSpec {
     assert(w2.metric("merged_through_seq").isDefined)
   }
 
+  test("CDC-query envelope drives the full loop: alternating key order, deletes, in-stream resolved") {
+    val feedDir = tmpDir("feedq")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2eq")
+
+    def ins(pk: Int, v: String, ts: Long, eventFirst: Boolean): String =
+      if (eventFirst)
+        s"""{"__event__":"insert","pk":$pk,"v":"$v","__crdb__":{"updated":"$ts.0000000000"}}"""
+      else
+        s"""{"__crdb__":{"updated":"$ts.0000000000"},"pk":$pk,"v":"$v","__event__":"insert"}"""
+    def del(pk: Int, ts: Long): String =
+      s"""{"pk":$pk,"v":null,"__event__":"delete","__crdb__":{"updated":"$ts.0000000000"}}"""
+    def res(ts: Long): String = s"""{"__crdb__":{"resolved":"$ts.0000000000"}}"""
+
+    var mtime = 1000000L
+    def writeChunk(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(feedDir, "chunk=000000", name)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      mtime += 1000
+    }
+    writeChunk(
+      "w1.ndjson",
+      (1 to 20).map(i => ins(i, s"v$i", 100L + i, eventFirst = i % 2 == 0)) :+ res(200L)
+    )
+    writeChunk(
+      "w2.ndjson",
+      Seq(ins(3, "v3b", 300L, eventFirst = true), del(7, 301L), res(400L))
+    )
+
+    val qSchema = StructType(
+      Seq(StructField("pk", LongType), StructField("v", StringType))
+    )
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4, compactEvery = 2)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint",
+      TableSpec(qSchema, Seq("pk")),
+      saltBuckets = 4, maxFilesPerTrigger = 1,
+      parse = graft.feed.Envelopes.parseQueryLines(_, Seq("pk"))
+    )
+    loop.runAvailableNow()
+
+    assert(loop.committedFence == Hlc(400L, 0))
+    val state = table.read().select("pk", "v").as[(Long, String)].collect().toMap
+    assert(state.size == 19) // 20 inserted, pk=7 deleted
+    assert(state(3L) == "v3b") // LWW update through the query envelope
+    assert(!state.contains(7L))
+    assert(state(4L) == "v4")
+  }
+
   test("maxBytesPerTrigger backpressure tightens the per-trigger file cap") {
     val feedDir = tmpDir("feedbp")
     Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
