@@ -218,6 +218,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(mor.merge(batches(4)._1, pk, "k5", Hlc(50, 0)).isEmpty)
   }
 
+  test("merge-on-read + schema evolution: deltas carry widened/added columns, fold aligns") {
+    val t = new SnapshotTable(spark, tmpDir("morevo"), numBuckets = 2, compactEvery = 4)
+    // base: stars INT
+    val b1 = Seq(("r1", "a", "v1", 1, 10L, 0, false), ("r2", "b", "v1", 2, 10L, 0, false))
+      .toDF("repo", "path", "content", "stars", "__hlc_nanos", "__hlc_logical", "__deleted")
+    t.merge(b1, pk, "k1", Hlc(10, 0))
+    // delta generation 1: stars widens to LONG and a new column appears
+    val b2 = Seq(("r1", "a", "v2", 99999999999L, "main", 20L, 0, false))
+      .toDF("repo", "path", "content", "stars", "branch", "__hlc_nanos", "__hlc_logical", "__deleted")
+    val m2 = t.merge(b2, pk, "k2", Hlc(20, 0)).get
+    assert(m2.metric("delta_merge").get == 1L)
+    // read folds an INT base row and a LONG delta row under the widened schema
+    val rows = t.read()
+      .select("repo", "path", "content", "stars", "branch")
+      .as[(String, String, String, Long, Option[String])]
+      .collect()
+      .toSet
+    assert(rows == Set(
+      ("r1", "a", "v2", 99999999999L, Some("main")),
+      ("r2", "b", "v1", 2L, None)
+    ))
+    // delta generation 2 then compaction keeps the evolved schema
+    val b3 = Seq(("r2", "b", "v3", 5L, "dev", 30L, 0, false))
+      .toDF("repo", "path", "content", "stars", "branch", "__hlc_nanos", "__hlc_logical", "__deleted")
+    t.merge(b3, pk, "k3", Hlc(30, 0))
+    (4 to 6).foreach { i => // push buckets past the cap to force compaction
+      t.merge(
+        Seq(("r1", "a", s"v$i", 7L, "main", i * 10L, 0, false))
+          .toDF("repo", "path", "content", "stars", "branch", "__hlc_nanos", "__hlc_logical", "__deleted"),
+        pk, s"k$i", Hlc(i * 10L, 0)
+      )
+    }
+    val fin = t.read()
+      .select("repo", "path", "content", "stars")
+      .as[(String, String, String, Long)]
+      .collect()
+      .toSet
+    assert(fin == Set(("r1", "a", "v6", 7L), ("r2", "b", "v3", 5L)))
+  }
+
   test("CommitLog.contains is O(1) per merge after the one-time key load") {
     import graft.table.{CommitLog, CommitMeta}
     val root = tmpDir("cl500")
