@@ -21,9 +21,17 @@ import graft.model.Hlc
   *    (reference: internal/source/cdc/ndjson_query.go:43-109,
   *    query_payload.go:50-158).
   *
+  *  - Webhook CDC-query envelope: a webhook body whose payload elements
+  *    are CDC-query rows, with a body-level `__crdb__.resolved` timestamp
+  *    (reference: internal/source/cdc/webhook_query.go:58-115).
+  *
   *  - Resolved-filename timestamps: `.../<33 digits>.RESOLVED` where the
   *    digits are YYYYMMDDHHMMSS + 9 nanos digits + 10 logical digits
   *    (reference: internal/source/cdc/resolved.go:69-101).
+  *
+  * Every parser here produces the unified feed schema of
+  * [[Changefeed.parseLines]], so any of them plugs into the replay loop via
+  * `ReplayLoop(parse = ...)`.
   */
 object Envelopes {
 
