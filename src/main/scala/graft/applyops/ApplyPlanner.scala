@@ -157,9 +157,13 @@ object ApplyPlanner {
       // A field the staging layer has seen but that is absent from THIS
       // window (it only exists in rows beyond the fence) does NOT evolve
       // yet — it will when its rows actually merge; evolving early would
-      // have to guess its type.
+      // have to guess its type. `prefersDecimal` keeps the engine's own
+      // "never infer doubles" rule (Mutation.scala): a decimal-looking
+      // value ("4E+2", "0.1") becomes DecimalType, exact from birth,
+      // instead of a lossy double.
       import spark.implicits._
       val inferred = spark.read
+        .option("prefersDecimal", "true")
         .json(window.select(col("data")).na.drop().as[String])
         .schema
       val newFields = unknown.flatMap { n =>
@@ -294,6 +298,44 @@ object ApplyPlanner {
     * (the reference's delete path has no CAS — queries/delete.tmpl).
     * Mirrors queries/conditional.tmpl:48-75.
     */
+  /** CAS gate against a [[graft.table.SnapshotTable]] with the current-row
+    * read pruned to the batch's touched buckets — at scale an unpruned read
+    * is a full-table scan per fence. Shared by the single-table and
+    * multi-table loops (the reference applies per-table apply-config
+    * identically on both paths: apply.go:148-191 is per-Applier). The batch
+    * is cached for the two passes (bucket discovery + join); call the
+    * returned `cleanup` after the merge has consumed the result.
+    */
+  def casGate(
+      table: graft.table.SnapshotTable,
+      batch: DataFrame,
+      pkCols: Seq[String],
+      casColumns: Seq[String]
+  ): (DataFrame, () => Unit) =
+    if (casColumns.isEmpty) (batch, () => ())
+    else {
+      val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touched: Set[Int] = cached
+        .select(
+          pmod(xxhash64(pkCols.map(col): _*), lit(table.numBuckets))
+            .cast(IntegerType)
+            .as("b")
+        )
+        .distinct()
+        .collect()
+        .map(_.getInt(0))
+        .toSet
+      val gated = casFilter(
+        cached,
+        // readCurrent: exactly one (max-HLC) row per key even when the
+        // table carries merge-on-read deltas
+        table.readCurrent(Some(touched)).filter(!col(SnapshotTable.DELETED)),
+        pkCols,
+        casColumns
+      )
+      (gated, () => { cached.unpersist(); () })
+    }
+
   def casFilter(
       batch: DataFrame,
       current: DataFrame,

@@ -95,9 +95,12 @@ final class MultiTableLoop(
       muts.select("topic", "key", "data", "nanos", "logical", "src_file"),
       batchId,
       stores = targets.map { case (topic, t) => topic -> t.stage },
-      validatePk = targets.map { case (topic, t) =>
-        topic -> ((t.spec.pkCols.size,
-          t.spec.pkCols.map(c => t.spec.config.sourceNames.getOrElse(c, c))))
+      // PK-less topics synthesize a rowid at plan time — no key-arity /
+      // PK-presence validation while staging
+      validatePk = targets.collect {
+        case (topic, t) if t.spec.pkCols.nonEmpty =>
+          topic -> ((t.spec.pkCols.size,
+            t.spec.pkCols.map(c => t.spec.config.sourceNames.getOrElse(c, c))))
       }
     )
 
@@ -140,17 +143,25 @@ final class MultiTableLoop(
               val seqNow = t.stage.currentSeq()
               val window =
                 t.stage.selectWindow(fence, target, Some(mergedThroughSeq))
+              // per-table apply config (CAS, deadlines, exprs) applies on
+              // the fan path exactly as on the single-table path — the
+              // reference's per-Applier config is shared by serial and fan
+              // events (internal/target/apply/apply.go:148-191)
               val planned = ApplyPlanner.plan(
                 spark, t.spec, window, saltBuckets,
+                dedup = t.spec.config.casColumns.nonEmpty,
                 observedFields = Some(t.stage.observedFields().toSeq))
+              val (gated, casCleanup) = ApplyPlanner.casGate(
+                t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
               t.table.merge(
-                planned.batch,
-                t.spec.pkCols,
+                gated,
+                planned.pkCols,
                 idempotenceKey = s"fence-${target.format}",
                 resolved = target,
                 lineage = Seq(s"batch=$batchId", s"topic=$topic"),
                 extraMetrics = Map("merged_through_seq" -> seqNow)
               )
+              casCleanup()
               t.stage.retire(target)
             }
           }

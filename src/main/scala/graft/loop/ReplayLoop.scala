@@ -127,23 +127,6 @@ final class ReplayLoop(
       .filter(!col(Changefeed.RESOLVED))
       .select("key", "data", "nanos", "logical", "src_file")
 
-    if (immediate) {
-      val spec = currentSpec
-      val planned = ApplyPlanner.plan(
-        spark, spec, muts, saltBuckets,
-        dedup = spec.config.casColumns.nonEmpty)
-      val (gated, casCleanup) = casGate(planned.batch, spec)
-      table.merge(
-        batch = gated,
-        pkCols = spec.pkCols,
-        idempotenceKey = s"batch-$batchId",
-        resolved = Hlc.Zero,
-        lineage = lineageOf(lines, batchId)
-      )
-      casCleanup()
-      return
-    }
-
     // cheap second scan: only lines containing a resolved marker are parsed
     // (every supported envelope spells its marker with a "resolved" key)
     val resolvedRows = parse(
@@ -159,13 +142,43 @@ final class ReplayLoop(
         Some(Hlc(r.getLong(0), r.getInt(1)))
       }
 
+    if (immediate) {
+      val spec = currentSpec
+      val planned = ApplyPlanner.plan(
+        spark, spec, muts, saltBuckets,
+        dedup = spec.config.casColumns.nonEmpty)
+      val (gated, casCleanup) =
+        ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
+      table.merge(
+        batch = gated,
+        pkCols = planned.pkCols,
+        idempotenceKey = s"batch-$batchId",
+        // immediate mode has no fence gating, but resolved markers are
+        // still RECORDED on the commit they ride with — the ledger shows
+        // source progress, mirroring the reference's Record-without-fencing
+        // (internal/source/cdc/resolver.go:291-309)
+        resolved = newResolved.getOrElse(Hlc.Zero),
+        lineage = lineageOf(lines, batchId)
+      )
+      casCleanup()
+      return
+    }
+
     val specForStage = currentSpec
     val pkSrc = specForStage.pkCols
       .map(c => specForStage.config.sourceNames.getOrElse(c, c))
     timed("stage-append", batchId) {
       // drift summary (arity / field set / PK presence) rides this write;
-      // violations fail the batch here, fields land in the batch marker
-      stage.append(muts, batchId, validatePk = Some((specForStage.pkCols.size, pkSrc)))
+      // violations fail the batch here, fields land in the field-set file.
+      // A PK-less spec synthesizes its rowid at plan time, so key-arity /
+      // PK-presence validation does not apply while staging.
+      stage.append(
+        muts,
+        batchId,
+        validatePk =
+          if (specForStage.pkCols.isEmpty) None
+          else Some((specForStage.pkCols.size, pkSrc))
+      )
     }
 
     val fence = committedFence
@@ -201,11 +214,12 @@ final class ReplayLoop(
             // field set was collected while staging: no summary scan here
             observedFields = Some(stage.observedFields().toSeq))
         }
-        val (gated, casCleanup) = casGate(planned.batch, spec)
+        val (gated, casCleanup) =
+          ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
         timed(s"merge fence=${target.format}", batchId) {
           table.merge(
             batch = gated,
-            pkCols = spec.pkCols,
+            pkCols = planned.pkCols,
             idempotenceKey = s"fence-${target.format}",
             resolved = target,
             lineage = lineageOf(lines, batchId),
@@ -218,37 +232,6 @@ final class ReplayLoop(
       }
     }
   }
-
-  /** CAS gate with the current-row read pruned to the batch's touched
-    * buckets — at scale an unpruned readRaw() is a full-table scan per
-    * fence. The batch is cached for the two passes (bucket discovery +
-    * join); `cleanup` releases it after the merge has consumed the result.
-    */
-  private def casGate(batch: DataFrame, spec: TableSpec): (DataFrame, () => Unit) =
-    if (spec.config.casColumns.isEmpty) (batch, () => ())
-    else {
-      val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val touched: Set[Int] = cached
-        .select(
-          pmod(
-            xxhash64(spec.pkCols.map(col): _*),
-            lit(table.numBuckets)
-          ).cast("int").as("b")
-        )
-        .distinct()
-        .collect()
-        .map(_.getInt(0))
-        .toSet
-      val gated = ApplyPlanner.casFilter(
-        cached,
-        // readCurrent: exactly one (max-HLC) row per key even when the
-        // table carries merge-on-read deltas
-        table.readCurrent(Some(touched)).filter(!col(SnapshotTable.DELETED)),
-        spec.pkCols,
-        spec.config.casColumns
-      )
-      (gated, () => { cached.unpersist(); () })
-    }
 
   private def lineageOf(lines: DataFrame, batchId: Long): Seq[String] = {
     // distinct source files of this batch — cheap: file-name column only
@@ -275,14 +258,13 @@ final class ReplayLoop(
       val sizes =
         if (!java.nio.file.Files.exists(dir)) Nil
         else
-          java.nio.file.Files
-            .walk(dir, 2)
-            .iterator()
-            .asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p))
-            .take(256)
-            .map(java.nio.file.Files.size)
-            .toSeq
+          scala.util.Using.resource(java.nio.file.Files.walk(dir, 2)) {
+            _.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p))
+              .take(256)
+              .map(java.nio.file.Files.size)
+              .toSeq
+          }
       if (sizes.isEmpty) maxFilesPerTrigger
       else {
         val mean = math.max(1L, sizes.sum / sizes.size)

@@ -37,12 +37,21 @@ object Hlc {
     val nanos = parts(0).toLong
     if (nanos < 0)
       throw new NumberFormatException(s"nanos must be greater than 0: $nanos")
-    val logical = parts(1).toInt
-    if (parts(1).length != 10 && logical != 0)
+    // parse as 64-bit first (the reference's strconv.Atoi is 64-bit, so a
+    // 10-digit logical up to 9999999999 parses there); our HLC stores the
+    // logical as int32 — CRDB logical counters fit int32 in practice — so
+    // values beyond Int.MaxValue are rejected with an explicit message
+    // rather than a bare toInt overflow
+    val logicalL = parts(1).toLong
+    if (parts(1).length != 10 && logicalL != 0)
       throw new NumberFormatException(
         s"logical part '${parts(1)}' must be 10 digits or zero-valued"
       )
-    Hlc(nanos, logical)
+    if (logicalL < 0 || logicalL > Int.MaxValue)
+      throw new NumberFormatException(
+        s"logical part '${parts(1)}' exceeds the int32 range this engine stores"
+      )
+    Hlc(nanos, logicalL.toInt)
   }
 
   /** Lenient entry point: the strict rules plus a bare-nanos form

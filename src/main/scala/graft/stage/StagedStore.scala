@@ -33,6 +33,7 @@ final class StagedStore(
   private val dataDir = s"$root/data"
   private val markerDir = Paths.get(root, "_batch_markers")
   private val seqFile = Paths.get(root, "_seq")
+  private val fieldsFile = Paths.get(root, "_fields")
   Files.createDirectories(markerDir)
   Files.createDirectories(Paths.get(dataDir))
 
@@ -89,10 +90,15 @@ final class StagedStore(
         staged.write.mode("append").partitionBy(TS_BUCKET).parquet(dataDir)
         Files.writeString(marker, "{}")
       case Some((pkArity, pkSrcNames)) =>
-        val missingPkCond = col("data").isNotNull &&
-          pkSrcNames
-            .map(n => get_json_object(col("data"), s"$$.$n").isNull)
-            .reduce(_ || _)
+        // a PK-less spec (synthetic rowid) never validates here, but guard
+        // the empty reduce anyway
+        val missingPkCond =
+          if (pkSrcNames.isEmpty) lit(false)
+          else
+            col("data").isNotNull &&
+              pkSrcNames
+                .map(n => get_json_object(col("data"), s"$$.$n").isNull)
+                .reduce(_ || _)
         val obs = org.apache.spark.sql.Observation(s"stage-$batchId")
         staged
           .observe(
@@ -123,34 +129,47 @@ final class StagedStore(
               pkSrcNames.mkString("[", ", ", "]")
           )
         }
-        // marker carries the batch's payload field set (JSON array)
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = mapper.createObjectNode()
-        val arr = node.putArray("fields")
-        fields.sorted.foreach(arr.add)
-        Files.writeString(marker, mapper.writeValueAsString(node))
+        // fold the batch's payload field set into the ONE compacted
+        // `_fields` file BEFORE the marker lands: a crash in between
+        // replays the batch and re-unions (idempotent — sets only grow)
+        recordFields(fields)
+        Files.writeString(marker, "{}")
     }
     true
   }
 
-  /** Union of the payload field sets recorded by [[append]]'s batch
-    * markers — the field universe of everything staged so far (monotone:
-    * markers outlive retirement, and schemas only grow).
+  /** Fold `fields` into the compacted field-set file (read-union-write,
+    * atomic rename; single writer per store). Keeps [[observedFields]] an
+    * O(1) file read no matter how many batches have ever been staged.
+    */
+  private[graft] def recordFields(fields: Seq[String]): Unit = {
+    val merged = (observedFields() ++ fields).toSeq.sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("fields")
+    merged.foreach(arr.add)
+    val tmp = Paths.get(root, s"._fields-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, mapper.writeValueAsString(node))
+    Files.move(
+      tmp,
+      fieldsFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    )
+  }
+
+  /** Union of every payload field set ever staged (monotone — schemas only
+    * grow). ONE compacted-file read, independent of batch count: the
+    * per-batch markers exist only for append idempotence and are retired by
+    * [[retire]], so the field universe cannot live in them.
     */
   def observedFields(): Set[String] = {
+    if (!Files.exists(fieldsFile)) return Set.empty
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files
-      .list(markerDir)
-      .iterator()
-      .asScala
-      .flatMap { p =>
-        val node = mapper.readTree(Files.readString(p))
-        val f = node.get("fields")
-        if (f == null) Nil
-        else f.elements().asScala.map(_.asText()).toList
-      }
-      .toSet
+    val f = mapper.readTree(Files.readString(fieldsFile)).get("fields")
+    if (f == null) Set.empty
+    else f.elements().asScala.map(_.asText()).toSet
   }
 
   private def schema: StructType = StructType(
@@ -237,35 +256,33 @@ final class StagedStore(
     * only — no data read). None when nothing is staged.
     */
   def maxStagedBucket(): Option[Long] = {
-    val dir = Paths.get(dataDir)
-    if (!Files.exists(dir)) return None
-    val it = Files.list(dir).iterator()
-    var max = Option.empty[Long]
-    while (it.hasNext) {
-      val name = it.next().getFileName.toString
-      if (name.startsWith(s"$TS_BUCKET=")) {
-        val b = name.stripPrefix(s"$TS_BUCKET=").toLong
-        if (max.forall(b > _)) max = Some(b)
-      }
-    }
-    max
+    StagedStore
+      .listDir(Paths.get(dataDir))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$TS_BUCKET="))
+      .map(_.stripPrefix(s"$TS_BUCKET=").toLong)
+      .maxOption
   }
 
   def bucketOfNanos(nanos: Long): Long = bucketOf(nanos)
 
   /** Drop whole staging partitions whose every mutation is at or below the
-    * committed fence. Metadata-only (directory removal); partial buckets are
-    * kept — their applied rows are screened out by the fence on read.
-    * Returns the number of partitions dropped.
+    * committed fence, and prune old batch markers. Metadata-only (directory
+    * removal); partial buckets are kept — their applied rows are screened
+    * out by the fence on read. Returns the number of partitions dropped.
+    *
+    * Marker retirement: markers exist only so an append replayed by the
+    * streaming engine is a cheap no-op, and the engine only ever replays
+    * the most recent uncommitted batch — so the newest `markerKeep` markers
+    * are ample. A re-append past that horizon (wiped checkpoint) is still
+    * absorbed by the read-side `(nanos, logical, key)` dedup / merge
+    * max_by; without pruning, a day at 1 batch/s leaves ~86k files that
+    * every directory listing pays for.
     */
-  def retire(upTo: Hlc): Int = {
+  def retire(upTo: Hlc, markerKeep: Int = 64): Int = {
     val fenceBucket = bucketOf(upTo.nanos) // drop buckets strictly below
-    val dir = Paths.get(dataDir)
-    if (!Files.exists(dir)) return 0
-    val it = Files.list(dir).iterator()
     var dropped = 0
-    while (it.hasNext) {
-      val p = it.next()
+    StagedStore.listDir(Paths.get(dataDir)).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith(s"$TS_BUCKET=")) {
         val b = name.stripPrefix(s"$TS_BUCKET=").toLong
@@ -275,14 +292,16 @@ final class StagedStore(
         }
       }
     }
+    val markers = StagedStore
+      .listDir(markerDir)
+      .flatMap(p => p.getFileName.toString.toLongOption.map(_ -> p))
+      .sortBy(_._1)
+    markers.dropRight(markerKeep).foreach { case (_, p) => Files.deleteIfExists(p) }
     dropped
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
+    if (Files.isDirectory(p)) StagedStore.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }
@@ -290,6 +309,15 @@ final class StagedStore(
 object StagedStore {
   val TS_BUCKET = "ts_bucket"
   val SEQ = "stage_seq"
+
+  /** Eager, stream-closing directory listing (Files.list leaks an fd if the
+    * stream is never closed — this runs once per micro-batch for days).
+    */
+  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) Nil
+    else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+  }
 
   /** ONE-PASS staging of a multi-topic batch.
     *
@@ -343,11 +371,13 @@ object StagedStore {
     val keyArr = from_json(col("key"), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
     val missingPkCol = validatePk.foldLeft(lit(false)) { case (acc, (t, (_, names))) =>
-      when(
-        col("topic") === t,
-        col("data").isNotNull &&
-          names.map(n => get_json_object(col("data"), s"$$.$n").isNull).reduce(_ || _)
-      ).otherwise(acc)
+      if (names.isEmpty) acc // PK-less topic: rowid is synthesized at plan time
+      else
+        when(
+          col("topic") === t,
+          col("data").isNotNull &&
+            names.map(n => get_json_object(col("data"), s"$$.$n").isNull).reduce(_ || _)
+        ).otherwise(acc)
     }
     val summary = muts
       .groupBy(col("topic"))
@@ -387,36 +417,30 @@ object StagedStore {
       .parquet(spillDir)
 
     // adopt: move each topic's ts_bucket part files into its store (driver
-    // renames — no data pass), bump seq, write markers with the field sets
-    import scala.jdk.CollectionConverters._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // renames — no data pass), bump seq, fold the field set into the
+    // compacted `_fields` file, then write the idempotence marker
     topics.foreach { t =>
       val st = pending(t)
       val topicDir = Paths.get(spillDir, s"__topic=$t")
-      if (Files.exists(topicDir)) {
-        Files.list(topicDir).iterator().asScala.toSeq.foreach { bucketDir =>
-          val name = bucketDir.getFileName.toString // ts_bucket=N
-          if (name.startsWith(s"$TS_BUCKET=")) {
-            val target = Paths.get(st.root, "data", name)
-            Files.createDirectories(target)
-            Files.list(bucketDir).iterator().asScala.toSeq.foreach { f =>
-              if (f.getFileName.toString.endsWith(".parquet")) {
-                Files.move(f, target.resolve(f.getFileName))
-              }
+      listDir(topicDir).foreach { bucketDir =>
+        val name = bucketDir.getFileName.toString // ts_bucket=N
+        if (name.startsWith(s"$TS_BUCKET=")) {
+          val target = Paths.get(st.root, "data", name)
+          Files.createDirectories(target)
+          listDir(bucketDir).foreach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              Files.move(f, target.resolve(f.getFileName))
             }
           }
         }
       }
       Files.writeString(st.seqFile, seqOf(t).toString)
-      val node = mapper.createObjectNode()
-      val arr = node.putArray("fields")
-      summary.get(t).map(_._2.sorted).getOrElse(Nil).foreach(arr.add)
-      Files.writeString(st.markerDir.resolve(s"$batchId"), mapper.writeValueAsString(node))
+      st.recordFields(summary.get(t).map(_._2).getOrElse(Nil))
+      Files.writeString(st.markerDir.resolve(s"$batchId"), "{}")
     }
     // scratch cleanup (only empty partition dirs and _SUCCESS remain)
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(spillRoot)

@@ -83,15 +83,14 @@ final class CommitLog(root: String) {
     dir.resolve(f"$version%020d.json")
 
   def listVersions(): Seq[Long] =
-    Files
-      .list(dir)
-      .iterator()
-      .asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq
-      .sorted
+    scala.util.Using.resource(Files.list(dir)) {
+      _.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq
+        .sorted
+    }
 
   def latest(): Option[CommitMeta] =
     listVersions().lastOption.map(read)

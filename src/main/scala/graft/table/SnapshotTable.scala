@@ -29,12 +29,16 @@ import graft.model.Hlc
   *     table a last-writer-wins register per key: *any* replay or reordering
   *     of batches converges to the same final state, which is what makes the
   *     whole pipeline idempotent end-to-end (the exactly-once north rule).
-  *     Tombstones are garbage-collected on the next merge once they fall
-  *     below a LAGGED fence horizon (one fence generation behind the
-  *     committed fence), so the loop's tolerance for transport-reordered
-  *     below-fence deliveries can never resurrect a deleted key — the
-  *     analog of staged-mutation retirement, internal/staging/stage/
-  *     stage.go:390-436).
+  *     Tombstones are garbage-collected on the next compaction once they
+  *     fall at/below a LAGGED fence horizon (one fence generation behind
+  *     the committed fence), and the merge enforces the matching intake
+  *     bound: batch rows with `ts <= gcHorizon` are dropped and counted
+  *     (`dropped_late` metric) instead of merged. The GC policy and the
+  *     late-delivery tolerance therefore agree EXACTLY — a late upsert
+  *     older than an already-GC'd tombstone can never resurrect the key,
+  *     because it is rejected at the door (the analog of the reference
+  *     refusing to re-apply below the committed fence, internal/source/
+  *     cdc/resolver.go:154-157, + staged retirement, stage.go:390-436).
   *   - Schema evolution: added columns and type widening evolve the snapshot
   *     schema ([[SchemaEvolution]]); old data files are read with the schema
   *     they were written with and cast up, so evolution never rewrites
@@ -83,19 +87,34 @@ final class SnapshotTable(
 
   /** One CURRENT row per key (max-HLC fold over base ∪ deltas), incl.
     * HLC/tombstone metadata. Equal to [[readRaw]] when no deltas exist.
+    *
+    * The fold is BUCKET-LOCAL: only buckets that actually carry deltas go
+    * through the per-key `max_by` shuffle; delta-free buckets are unioned
+    * raw — their base files are themselves fold results (one max-HLC row
+    * per key by construction), and a key lives in exactly one bucket, so
+    * the split cannot change the answer. At scale this keeps read cost
+    * proportional to delta-bearing data instead of turning every read into
+    * a full-table shuffle the moment ANY bucket holds a delta.
     */
   def readCurrent(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    val raw = readRaw(onlyBuckets)
     val meta = log.latest()
     val pks = meta.map(m => Option(m.pkCols).getOrElse(Nil)).getOrElse(Nil)
-    val hasDeltas = meta.exists(m => deltasOf(Some(m)).nonEmpty)
-    if (!hasDeltas || pks.isEmpty) raw
+    val deltaBuckets: Set[Int] =
+      deltasOf(meta).filter(_._2.nonEmpty).keys.map(_.toInt).toSet
+    val dirty: Set[Int] = deltaBuckets.filter(b => onlyBuckets.forall(_.contains(b)))
+    if (dirty.isEmpty || pks.isEmpty) readRaw(onlyBuckets)
     else {
+      val allBuckets: Set[Int] =
+        meta.map(_.buckets.keys.map(_.toInt).toSet).getOrElse(Set.empty) ++ deltaBuckets
+      val clean = allBuckets.filter(b => onlyBuckets.forall(_.contains(b))) -- dirty
+      val raw = readRaw(Some(dirty))
       val hlcTuple = struct(col(NANOS), col(LOGICAL))
-      raw
+      val folded = raw
         .groupBy(pks.map(col): _*)
         .agg(max_by(struct(raw.columns.map(col): _*), hlcTuple).as("__row"))
         .select(raw.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+      if (clean.isEmpty) folded
+      else readRaw(Some(clean)).unionByName(folded)
     }
   }
 
@@ -178,20 +197,14 @@ final class SnapshotTable(
       .toSet // e.g. "data/v00000003"
     val dataRoot = java.nio.file.Paths.get(root, "data")
     if (!java.nio.file.Files.exists(dataRoot)) return 0
-    import scala.jdk.CollectionConverters._
     var removed = 0
-    java.nio.file.Files
-      .list(dataRoot)
-      .iterator()
-      .asScala
-      .toSeq
-      .foreach { d =>
-        val rel = s"data/${d.getFileName}"
-        if (!referenced.contains(rel)) {
-          deleteRecursively(d)
-          removed += 1
-        }
+    SnapshotTable.listDir(dataRoot).foreach { d =>
+      val rel = s"data/${d.getFileName}"
+      if (!referenced.contains(rel)) {
+        deleteRecursively(d)
+        removed += 1
       }
+    }
     // retire the superseded commit files too (keep the ledger compact);
     // idempotence keys of retired commits are forgotten — acceptable
     // because replays older than the retained horizon are screened by the
@@ -205,10 +218,8 @@ final class SnapshotTable(
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    }
+    if (java.nio.file.Files.isDirectory(p))
+      SnapshotTable.listDir(p).foreach(deleteRecursively)
     java.nio.file.Files.deleteIfExists(p)
   }
 
@@ -378,18 +389,40 @@ final class SnapshotTable(
         .agg(max_by(struct(df.columns.map(col): _*), hlcTuple).as("__row"))
         .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
 
+    // Intake bound matching the tombstone-GC policy: a batch row at/below
+    // the gcHorizon may be older than a tombstone that compaction already
+    // GC'd, so merging it could resurrect a deleted key. Drop it AND count
+    // it (`dropped_late`), so the loop's late-delivery tolerance and the GC
+    // window agree exactly and violations are observable. The observation
+    // rides the write job (no extra action).
+    // observation names are matched globally by the listener, so they must
+    // be unique across CONCURRENT merges (MultiTableLoop runs tables of one
+    // FK level in parallel) — a version number alone can collide
+    val lateObs = org.apache.spark.sql.Observation(
+      s"late-${java.util.UUID.randomUUID()}"
+    )
+    val lateCond =
+      struct(col(NANOS), col(LOGICAL)) <=
+        struct(lit(gcHorizon.nanos), lit(gcHorizon.logical))
+    val boundedBatch =
+      if (gcHorizon.isZero) alignedBatch
+      else
+        alignedBatch
+          .observe(lateObs, sum(when(lateCond, 1L).otherwise(0L)).as("dropped_late"))
+          .filter(!lateCond)
+
     val winners = current match {
       case None =>
         // delta merge: per-key LWW within the batch only (keeps the delta
         // minimal; readers fold across generations). Tombstones are NOT
         // GC'd here — they must survive until compaction folds them
         // against any earlier base/delta versions of the key.
-        lwwFold(alignedBatch)
+        lwwFold(boundedBatch)
       case Some(cur) =>
         // compaction: fold everything, then GC tombstones at/below the
-        // lagged horizon — nothing older can arrive within the tolerated
-        // disorder window
-        lwwFold(cur.unionByName(alignedBatch))
+        // lagged horizon — the intake bound above guarantees nothing older
+        // can merge afterwards
+        lwwFold(cur.unionByName(boundedBatch))
           .filter(
             !col(DELETED) ||
               struct(col(NANOS), col(LOGICAL)) >
@@ -404,7 +437,9 @@ final class SnapshotTable(
     // wide per-bucket observe would janino-compile a pathological method);
     // per-bucket row counts come from the parquet FOOTERS of the files just
     // written: driver-side metadata reads, no extra Spark job, exact.
-    val obs = org.apache.spark.sql.Observation(s"merge-v$version")
+    val obs = org.apache.spark.sql.Observation(
+      s"merge-v$version-${java.util.UUID.randomUUID()}"
+    )
     winners
       .observe(
         obs,
@@ -428,8 +463,13 @@ final class SnapshotTable(
       .parquet(dataDir)
 
     val m = obs.get
+    // an aggregate over zero rows (e.g. the whole batch dropped as late)
+    // observes SQL NULL, not a missing key
     def asLong(k: String): Long =
-      m.get(k).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      m.get(k) match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L
+      }
     val perBucket: Seq[(Int, Long)] = footerCounts(dataDir)
     bucketed.unpersist()
 
@@ -470,6 +510,13 @@ final class SnapshotTable(
 
     val rowsWritten = asLong("rows")
     val tombstones = asLong("tombstones")
+    val droppedLate: Long =
+      if (gcHorizon.isZero) 0L
+      else
+        lateObs.get
+          .get("dropped_late")
+          .collect { case n: Number => n.longValue() }
+          .getOrElse(0L)
 
     val meta = CommitMeta(
       version = version,
@@ -488,7 +535,8 @@ final class SnapshotTable(
         "tombstones" -> tombstones,
         "live_rows_in_touched_buckets" -> (rowsWritten - tombstones),
         "touched_buckets" -> touched.size.toLong,
-        "delta_merge" -> (if (deltaMode) 1L else 0L)
+        "delta_merge" -> (if (deltaMode) 1L else 0L),
+        "dropped_late" -> droppedLate
       ) ++ extraMetrics,
       partitionMetrics =
         perBucket.map { case (b, n) => b.toString -> n }.toMap,
@@ -525,27 +573,37 @@ object SnapshotTable {
       )
     )
 
+  /** List a directory's entries eagerly, closing the underlying stream
+    * (Files.list leaks a file descriptor otherwise — fatal on a driver that
+    * merges once per micro-batch for days).
+    */
+  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) Nil
+    else scala.util.Using.resource(java.nio.file.Files.list(p))(_.iterator().asScala.toSeq)
+  }
+
   /** Per-bucket row counts of a freshly written snapshot version, from the
     * parquet file footers (driver-side metadata reads — no Spark job).
+    * Footer opens run in parallel: with 64 buckets x several files this is
+    * otherwise ~256 serial opens per merge — pure driver latency that does
+    * not shrink with executor count.
     */
   def footerCounts(dataDir: String): Seq[(Int, Long)] = {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dataDir)
     if (!java.nio.file.Files.exists(root)) return Nil
     val conf = new org.apache.hadoop.conf.Configuration()
-    java.nio.file.Files
-      .list(root)
-      .iterator()
-      .asScala
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perBucket = listDir(root)
       .filter(_.getFileName.toString.startsWith("__bp="))
       .map { bucketDir =>
         val b = bucketDir.getFileName.toString.stripPrefix("__bp=").toInt
-        val rows = java.nio.file.Files
-          .list(bucketDir)
-          .iterator()
-          .asScala
+        val files = listDir(bucketDir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
+        val counts = Future.traverse(files) { f =>
+          Future {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(f.toUri),
               conf
@@ -554,10 +612,11 @@ object SnapshotTable {
             try r.getRecordCount
             finally r.close()
           }
-          .sum
-        (b, rows)
+        }
+        b -> counts
       }
-      .toSeq
+    perBucket
+      .map { case (b, fut) => (b, Await.result(fut, Duration.Inf).sum) }
       .sortBy(_._1)
   }
 

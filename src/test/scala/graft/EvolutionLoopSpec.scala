@@ -115,7 +115,15 @@ class EvolutionLoopSpec extends SparkSpec {
         .toSet
     assert(state(immTable) == state(stagedTable))
     assert(state(immTable).nonEmpty)
-    // immediate mode records no fence
-    assert(imm.committedFence == graft.model.Hlc.Zero)
+    // immediate mode performs no fence GATING (every batch merges on
+    // arrival), but resolved markers are still RECORDED on the commits
+    // they ride with — the ledger shows source progress, mirroring the
+    // reference's Record-without-fencing (resolver.go:291-309)
+    assert(imm.committedFence > graft.model.Hlc.Zero)
+    import org.apache.spark.sql.functions.col
+    assert(
+      immTable.ledger().filter(col("resolved_nanos") > 0L).count() >= 1,
+      "ledger must show recorded source progress in immediate mode"
+    )
   }
 }

@@ -204,13 +204,18 @@ class ReplayLoopSpec extends SparkSpec {
     // must NOT re-merge (they share the staging ts-bucket, so retirement
     // alone cannot exclude them)
     writeChunk("w2.ndjson", Seq(mut("r", "fresh", "c2", 2000L), res(2100L)))
-    // window 3: a LATE, below-fence mutation (ts 1050 < fence 2100) plus a
-    // below-fence DELETE of an applied key — both staged after the last
-    // merge, both must apply exactly once
+    // window 3: a LATE, below-fence mutation (ts 1150 < fence 2100 but
+    // ABOVE the gc horizon 1100 — within the tolerated disorder window)
+    // plus a below-fence DELETE of an applied key — both staged after the
+    // last merge, both must apply exactly once. A mutation at/below the gc
+    // horizon (ts 1050 <= 1100) must be dropped AND counted instead: its
+    // tombstone protection may already be GC'd, so merging it could
+    // resurrect a deleted key (tolerance == GC lag, by construction).
     writeChunk(
       "w3.ndjson",
       Seq(
-        mut("r", "late_insert", "c3", 1050L),
+        mut("r", "late_insert", "c3", 1150L),
+        mut("r", "too_late", "c3", 1050L),
         s"""{"after":null,"key":["r","p7"],"updated":"2050.0000000000"}""",
         res(2200L)
       )
@@ -228,7 +233,16 @@ class ReplayLoopSpec extends SparkSpec {
     assert(paths.contains("fresh"))
     assert(paths.contains("late_insert"), "late below-fence insert must apply")
     assert(!paths.contains("p7"), "late below-fence delete must apply")
+    assert(
+      !paths.contains("too_late"),
+      "a mutation at/below the gc horizon must be rejected, not merged"
+    )
     assert(paths.size == 101) // 100 - p7 + fresh + late_insert
+    val w3 = table.log.all().find(_.idempotenceKey == "fence-2200.0000000000").get
+    assert(
+      w3.metric("dropped_late").contains(1L),
+      s"dropped-late counter must surface the rejected row, got ${w3.metrics}"
+    )
 
     // the window-2 merge must not have rewritten the 100 window-1 rows:
     // its rows_written covers only the fresh key's bucket cohabitants

@@ -83,6 +83,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!t.read().select("repo").as[String].collect().contains("r1"))
   }
 
+  test("intake bound == GC lag: an upsert older than a GC'd tombstone is dropped, key stays deleted") {
+    // numBuckets=1 so every merge compacts the tombstone's bucket
+    val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 1)
+    t.merge(batch(Seq(("r1", "a", "v1", 10L, 0, false))), pk, "k1", Hlc(10, 0))
+    // delete at t=20, fence 20
+    t.merge(batch(Seq(("r1", "a", null, 20L, 0, true))), pk, "k2", Hlc(20, 0))
+    // fence 30: gcHorizon = 10 — tombstone@20 survives
+    t.merge(batch(Seq(("r2", "b", "v", 30L, 0, false))), pk, "k3", Hlc(30, 0))
+    assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 1)
+    // fence 40: gcHorizon = 20 — compaction GCs the tombstone@20
+    t.merge(batch(Seq(("r3", "c", "v", 40L, 0, false))), pk, "k4", Hlc(40, 0))
+    assert(t.readRaw().filter(col(SnapshotTable.DELETED)).count() == 0)
+    // the upsert@15 arrives TWO+ fence generations late, older than the
+    // GC'd delete@20: with no tombstone left to lose against, merging it
+    // would resurrect the key — the intake bound (ts <= gcHorizon 30)
+    // rejects it instead, and the drop is counted
+    val m5 = t.merge(batch(Seq(("r1", "a", "ghost", 15L, 0, false))), pk, "k5", Hlc(50, 0)).get
+    assert(m5.metric("dropped_late").contains(1L))
+    assert(!t.read().select("repo").as[String].collect().contains("r1"))
+  }
+
+  test("merge-on-read reads are bucket-local: delta-free buckets read with no shuffle") {
+    val t = new SnapshotTable(spark, tmpDir("morlocal"), numBuckets = 8, compactEvery = 4)
+    t.merge(batch((0 until 64).map(i => (s"r$i", "p", "v1", 10L, 0, false))), pk, "k1", Hlc(10, 0))
+    // one small delta: exactly one key's bucket carries a delta now
+    t.merge(batch(Seq(("r3", "p", "v2", 20L, 0, false))), pk, "k2", Hlc(20, 0))
+    val meta = t.log.latest().get
+    assert(meta.metric("delta_merge").contains(1L))
+    val dirty = meta.deltas.filter(_._2.nonEmpty).keys.map(_.toInt).toSet
+    assert(dirty.nonEmpty)
+    val clean = meta.buckets.keys.map(_.toInt).toSet -- dirty
+    assert(clean.nonEmpty)
+    // a read pruned to delta-free buckets must not shuffle at all — one
+    // delta elsewhere must not un-do bucket pruning (the 100 TB contract)
+    val cleanPlan = t.readCurrent(Some(clean)).queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Exchange"), s"clean-bucket read must not shuffle:\n$cleanPlan")
+    // the full read folds only the dirty buckets; visible state is exact
+    val m = t.read().select("repo", "content").as[(String, String)].collect().toMap
+    assert(m.size == 64 && m("r3") == "v2" && m("r5") == "v1")
+  }
+
   test("hot-bucket writes fan out over multiple files (writersPerBucket)") {
     val t = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 1, writersPerBucket = 4)
     val big = batch((0 until 400).map(i => (s"r$i", s"p$i", "v", 10L, 0, false)))
