@@ -162,14 +162,31 @@ object ApplyPlanner {
       // value ("4E+2", "0.1") becomes DecimalType, exact from birth,
       // instead of a lossy double.
       import spark.implicits._
-      val inferred = spark.read
-        .option("prefersDecimal", "true")
-        .json(window.select(col("data")).na.drop().as[String])
-        .schema
+      // exponent forms like 4E+2 infer as negative-scale decimals, which
+      // Spark disallows by default: permit them during inference only,
+      // then normalize to scale 0 (4E+2 -> decimal(3,0) == 400, exact)
+      val negScaleKey = "spark.sql.legacy.allowNegativeScaleOfDecimal"
+      val prevNegScale = spark.conf.getOption(negScaleKey)
+      spark.conf.set(negScaleKey, "true")
+      val inferred =
+        try
+          spark.read
+            .option("prefersDecimal", "true")
+            .json(window.select(col("data")).na.drop().as[String])
+            .schema
+        finally prevNegScale match {
+          case Some(v) => spark.conf.set(negScaleKey, v)
+          case None => spark.conf.unset(negScaleKey)
+        }
+      def sanitize(dt: DataType): DataType = dt match {
+        case d: DecimalType if d.scale < 0 =>
+          DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision - d.scale), 0)
+        case other => other
+      }
       val newFields = unknown.flatMap { n =>
         inferred.fields
           .find(_.name == n)
-          .map(f => StructField(n, f.dataType, nullable = true))
+          .map(f => StructField(n, sanitize(f.dataType), nullable = true))
       }
       evolved = SchemaEvolution.merge(
         spec.payloadSchema,
@@ -311,8 +328,13 @@ object ApplyPlanner {
       batch: DataFrame,
       pkCols: Seq[String],
       casColumns: Seq[String]
-  ): (DataFrame, () => Unit) =
-    if (casColumns.isEmpty) (batch, () => ())
+  ): (DataFrame, () => Unit) = {
+    // no current rows to compare against (empty table), or the committed
+    // schema predates the CAS/PK columns (they arrive with this very
+    // batch): every incoming row passes, same as the left-join-miss path
+    val committed = table.payloadSchema().map(_.fieldNames.toSet)
+    val gateable = committed.exists(f => (pkCols ++ casColumns).forall(f.contains))
+    if (casColumns.isEmpty || !gateable) (batch, () => ())
     else {
       val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val touched: Set[Int] = cached
@@ -335,6 +357,7 @@ object ApplyPlanner {
       )
       (gated, () => { cached.unpersist(); () })
     }
+  }
 
   def casFilter(
       batch: DataFrame,

@@ -88,12 +88,24 @@ final class MultiTableLoop(
     val parsed = Envelopes.parseWebhookLines(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))
 
+    // batch identity = source-file-set hash, not the engine batch id: a
+    // wiped checkpoint renumbers batches from 0, and an id-keyed marker
+    // would wrongly skip a NEW batch reusing an old id (see ReplayLoop)
+    val files = lines
+      .select(col(Changefeed.SRC_FILE))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(_.nonEmpty)
+      .toSeq
+    val stageKey = ReplayLoop.batchKeyOf(files)
+
     // stage EVERY table's slice in one Spark job (idempotent per batch):
     // partitionBy(topic, ts_bucket) + a single per-topic drift aggregation
     // replaces the T-pass per-topic append loop
     StagedStore.appendMultiTopic(
       muts.select("topic", "key", "data", "nanos", "logical", "src_file"),
-      batchId,
+      stageKey,
       stores = targets.map { case (topic, t) => topic -> t.stage },
       // PK-less topics synthesize a rowid at plan time — no key-arity /
       // PK-presence validation while staging

@@ -127,6 +127,15 @@ final class ReplayLoop(
       .filter(!col(Changefeed.RESOLVED))
       .select("key", "data", "nanos", "logical", "src_file")
 
+    // Identify this batch by its SOURCE FILE SET, not the engine's batch
+    // id: after a wiped checkpoint the file source renumbers batches from
+    // 0, and an id-keyed marker would wrongly skip a brand-new batch that
+    // happens to reuse an old id. The file-set hash is stable under
+    // renumbering AND still dedups true redeliveries of the same files.
+    val files = distinctFiles(lines)
+    val stageKey: Long = ReplayLoop.batchKeyOf(files)
+    val lineage = s"batch=$batchId" +: files
+
     // cheap second scan: only lines containing a resolved marker are parsed
     // (every supported envelope spells its marker with a "resolved" key)
     val resolvedRows = parse(
@@ -152,13 +161,14 @@ final class ReplayLoop(
       table.merge(
         batch = gated,
         pkCols = planned.pkCols,
-        idempotenceKey = s"batch-$batchId",
+        // file-set key, not batch id: survives checkpoint-wipe renumbering
+        idempotenceKey = s"batch-$stageKey",
         // immediate mode has no fence gating, but resolved markers are
         // still RECORDED on the commit they ride with — the ledger shows
         // source progress, mirroring the reference's Record-without-fencing
         // (internal/source/cdc/resolver.go:291-309)
         resolved = newResolved.getOrElse(Hlc.Zero),
-        lineage = lineageOf(lines, batchId)
+        lineage = lineage
       )
       casCleanup()
       return
@@ -174,7 +184,7 @@ final class ReplayLoop(
       // PK-presence validation does not apply while staging.
       stage.append(
         muts,
-        batchId,
+        stageKey,
         validatePk =
           if (specForStage.pkCols.isEmpty) None
           else Some((specForStage.pkCols.size, pkSrc))
@@ -222,7 +232,7 @@ final class ReplayLoop(
             pkCols = planned.pkCols,
             idempotenceKey = s"fence-${target.format}",
             resolved = target,
-            lineage = lineageOf(lines, batchId),
+            lineage = lineage,
             extraMetrics = Map("merged_through_seq" -> seqNow)
           )
         }
@@ -233,9 +243,11 @@ final class ReplayLoop(
     }
   }
 
-  private def lineageOf(lines: DataFrame, batchId: Long): Seq[String] = {
-    // distinct source files of this batch — cheap: file-name column only
-    val files = lines
+  /** Distinct source files of this batch — cheap: file-name column only.
+    * Feeds both the lineage record and the batch identity key.
+    */
+  private def distinctFiles(lines: DataFrame): Seq[String] =
+    lines
       .select(col(Changefeed.SRC_FILE).as("f"))
       .distinct()
       .collect()
@@ -243,8 +255,6 @@ final class ReplayLoop(
       .filter(_.nonEmpty)
       .sorted
       .toSeq
-    s"batch=$batchId" +: files
-  }
 
   /** File cap for one trigger: `maxFilesPerTrigger`, tightened by the byte
     * budget divided by the observed mean feed-file size (sampled from the
@@ -294,5 +304,19 @@ final class ReplayLoop(
   def runAvailableNow(): Unit = {
     val q = start(Trigger.AvailableNow())
     q.awaitTermination()
+  }
+}
+
+object ReplayLoop {
+
+  /** Deterministic 64-bit identity of a batch's source-file set: SHA-256 of
+    * the sorted file names, folded to a Long. Stable across checkpoint
+    * wipes and engine batch renumbering; collision odds are negligible at
+    * any realistic batch count (~1e-10 at a billion batches).
+    */
+  def batchKeyOf(files: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 }

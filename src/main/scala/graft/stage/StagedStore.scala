@@ -292,11 +292,13 @@ final class StagedStore(
         }
       }
     }
+    // marker names are batch-identity hashes (not sequential), so recency
+    // comes from the file mtime; ties break on name for determinism
     val markers = StagedStore
       .listDir(markerDir)
-      .flatMap(p => p.getFileName.toString.toLongOption.map(_ -> p))
-      .sortBy(_._1)
-    markers.dropRight(markerKeep).foreach { case (_, p) => Files.deleteIfExists(p) }
+      .map(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString, p))
+      .sortBy { case (t, n, _) => (t, n) }
+    markers.dropRight(markerKeep).foreach { case (_, _, p) => Files.deleteIfExists(p) }
     dropped
   }
 

@@ -75,6 +75,68 @@ class MultiTableLoopSpec extends SparkSpec {
     assert(loop.pendingTopics().isEmpty)
   }
 
+  test("per-topic CAS config gates the fan path: a stale update is rejected") {
+    val base = tmpDir("mtlcas")
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir))
+
+    def mut(topic: String, pk: Int, v: String, ver: Int, ts: Long): String =
+      s"""{"after":{"pk":$pk,"v":"$v","ver":$ver},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+
+    // window 1: seed rows (acct ver=5, plain v=base); window 2: a STALE
+    // acct update (ver 3 < 5, despite the newer HLC) that CAS must reject,
+    // a winning acct update on another key, and a plain-topic update that
+    // has no CAS config and lands by LWW as usual
+    Files.writeString(
+      Paths.get(feedDir, "0001.json"),
+      Seq(
+        s"""{"payload":[${mut("acct", 1, "seed", 5, 10)},${mut("plain", 1, "base", 1, 11)}],"length":2}""",
+        s"""{"resolved":"20.0000000000"}"""
+      ).mkString("\n")
+    )
+    Files.writeString(
+      Paths.get(feedDir, "0002.json"),
+      Seq(
+        s"""{"payload":[${mut("acct", 1, "stale", 3, 30)},${mut("acct", 2, "new", 1, 31)},${mut("plain", 1, "upd", 0, 32)}],"length":3}""",
+        s"""{"resolved":"40.0000000000"}"""
+      ).mkString("\n")
+    )
+
+    val schema = StructType(
+      Seq(
+        StructField("pk", IntegerType),
+        StructField("v", StringType),
+        StructField("ver", IntegerType)
+      )
+    )
+    def target(name: String, cas: Seq[String]) = TableTarget(
+      TableSpec(schema, Seq("pk"), graft.model.TableConfig(casColumns = cas)),
+      new SnapshotTable(spark, s"$base/$name/table", numBuckets = 4),
+      new StagedStore(spark, s"$base/$name/stage", bucketNanos = 100L)
+    )
+    val targets = Map(
+      "acct" -> target("acct", Seq("ver")),
+      "plain" -> target("plain", Nil)
+    )
+    val loop = new MultiTableLoop(
+      spark, feedDir, targets,
+      dependsOn = Map.empty,
+      checkpointDir = s"$base/checkpoint",
+      saltBuckets = 4,
+      maxFilesPerTrigger = 1 // two fences, so the CAS gate sees committed state
+    )
+    loop.runAvailableNow()
+
+    val acct = targets("acct").table.read()
+      .select("pk", "v", "ver").as[(Int, String, Int)].collect().toSet
+    // pk=1 keeps ver 5: the stale ver-3 update was CAS-rejected even though
+    // its HLC was newer; pk=2 landed (no current row)
+    assert(acct == Set((1, "seed", 5), (2, "new", 1)), s"got $acct")
+    val plain = targets("plain").table.read()
+      .select("pk", "v").as[(Int, String)].collect().toSet
+    assert(plain == Set((1, "upd"))) // no CAS on this topic: plain LWW
+  }
+
   test("appendMultiTopic: one-pass staging, idempotent replays, per-topic drift, seq bumps") {
     val base = tmpDir("amt")
     val t1 = new StagedStore(spark, s"$base/t1", bucketNanos = 100L)

@@ -255,6 +255,42 @@ class ReplayLoopSpec extends SparkSpec {
     assert(w2.metric("merged_through_seq").isDefined)
   }
 
+  test("PK-less spec drives the full loop: synthetic rowid through staging, merge and fence") {
+    val feedDir = tmpDir("feedpkless")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2epkless")
+
+    // feed with single-value keys (the reference maps them positionally to
+    // the synthesized rowid) and NO declared primary key in the spec
+    def mut(id: Long, v: String, nanos: Long): String =
+      s"""{"after":{"v":"$v"},"key":[$id],"updated":"$nanos.0000000000"}"""
+    val lines = Seq(
+      mut(1, "a", 100L),
+      mut(2, "b", 110L),
+      mut(1, "a2", 120L), // same rowid: LWW applies
+      s"""{"resolved":"200.0000000000"}"""
+    )
+    val p = Paths.get(feedDir, "chunk=000000", "w1.ndjson")
+    Files.writeString(p, lines.mkString("", "\n", "\n"))
+
+    val pkless = TableSpec(
+      StructType(Seq(StructField("v", StringType))),
+      pkCols = Nil
+    )
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", pkless,
+      saltBuckets = 4, maxFilesPerTrigger = 4
+    )
+    loop.runAvailableNow()
+
+    val rows = table.read().select("rowid", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a2"), (2L, "b")), s"got $rows")
+    assert(loop.committedFence == Hlc(200L, 0))
+    assert(table.log.latest().get.pkCols == Seq("rowid"))
+  }
+
   test("CDC-query envelope drives the full loop: alternating key order, deletes, in-stream resolved") {
     val feedDir = tmpDir("feedq")
     Files.createDirectories(Paths.get(feedDir, "chunk=000000"))

@@ -191,6 +191,34 @@ class TypesMatrixSpec extends SparkSpec {
     assert(e.getMessage.contains("val=Repeated"))
   }
 
+  test("EVOLVED columns infer decimal-safe types: 4E+2 and 2^53+1 survive exactly") {
+    // the spec declares only the PK; price/big arrive as drift and must
+    // evolve with exact types — decimal, never a lossy double (the engine's
+    // "never infer doubles" rule applies to inference too)
+    val spec = TableSpec(
+      StructType(Seq(StructField("pk", IntegerType))),
+      Seq("pk")
+    )
+    val window = Seq(
+      ("[1]", """{"pk":1,"price":4E+2,"big":9007199254740993}""", 10L, 0, "f"),
+      ("[2]", """{"pk":2,"price":0.01,"big":1}""", 11L, 0, "f")
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner.plan(spark, spec, window, 4)
+    assert(
+      planned.evolvedSchema("price").dataType.isInstanceOf[DecimalType],
+      s"price must evolve as decimal, got ${planned.evolvedSchema("price").dataType}"
+    )
+    assert(planned.evolvedSchema("big").dataType == LongType)
+    val rows = planned.batch
+      .select(col("pk"), col("price").cast(StringType), col("big"))
+      .as[(Int, String, Long)]
+      .collect()
+      .map(r => r._1 -> ((BigDecimal(r._2), r._3)))
+      .toMap
+    assert(rows(1)._1 == BigDecimal(400) && rows(1)._2 == 9007199254740993L)
+    assert(rows(2)._1 == BigDecimal("0.01") && rows(2)._2 == 1L)
+  }
+
   test("decimal exponent forms normalize exactly (4e+2 -> 400, 4e-2 -> 0.04)") {
     val schema2 = StructType(
       Seq(StructField("pk", IntegerType), StructField("d", DecimalType(10, 4)))
