@@ -31,16 +31,59 @@ object Bench {
     s
   }
 
+  /** Aggregate task-level metrics of one replay run — the evidence that the
+    * ENGINE's work is invariant across parallelism levels: if task count
+    * and total task/CPU time are ~equal at N and 4N while wall-clock is
+    * not 4x shorter, the residual is the shared box's memory/disk
+    * bandwidth, not a serialization bottleneck in the plan. On a real
+    * multi-executor cluster each executor brings its own bandwidth, which
+    * is exactly what local[N] cannot model.
+    */
+  final case class TaskEvidence(
+      tasks: Long,
+      taskTimeSec: Double,
+      cpuTimeSec: Double,
+      shuffleReadMb: Double,
+      shuffleWriteMb: Double
+  )
+
+  private final class TaskAgg extends org.apache.spark.scheduler.SparkListener {
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val runMs = new java.util.concurrent.atomic.AtomicLong
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    private val sr = new java.util.concurrent.atomic.AtomicLong
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd
+    ): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        tasks.incrementAndGet()
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def evidence: TaskEvidence = TaskEvidence(
+      tasks.get(),
+      runMs.get() / 1e3,
+      cpuNs.get() / 1e9,
+      sr.get() / 1e6,
+      sw.get() / 1e6
+    )
+  }
+
   /** Replay `numEvents` at a parallelism level; returns
-    * (events/sec, final-state fingerprint) — the fingerprint must be
-    * identical across parallelism levels (same input => same state).
+    * (events/sec, final-state fingerprint, task evidence) — the fingerprint
+    * must be identical across parallelism levels (same input => same state).
     */
   private def replayAt(
       cores: Int,
       feedDir: String,
       workDir: String,
       numEvents: Long
-  ): (Double, Long) = {
+  ): (Double, Long, TaskEvidence) = {
     import org.apache.spark.sql.types._
     import graft.applyops.TableSpec
     import graft.loop.ReplayLoop
@@ -77,9 +120,12 @@ object Bench {
         // overlaps the first batch's lingering write-side work)
         maxFilesPerTrigger = 16
       )
+      val agg = new TaskAgg
+      spark.sparkContext.addSparkListener(agg)
       val t0 = System.nanoTime()
       loop.runAvailableNow()
       val eps = numEvents / ((System.nanoTime() - t0) / 1e9)
+      spark.sparkContext.removeSparkListener(agg)
       val fp = table
         .read()
         .agg(
@@ -87,7 +133,7 @@ object Bench {
             .expr("bit_xor(xxhash64(repo, path, commit, sha2(content, 256)))")
         )
         .collect()(0)
-      (eps, if (fp.isNullAt(0)) 0L else fp.getLong(0))
+      (eps, if (fp.isNullAt(0)) 0L else fp.getLong(0), agg.evidence)
     } finally spark.stop()
   }
 
@@ -167,15 +213,22 @@ object Bench {
     // gutted by one 30-40s external stall (biasing efficiency DOWN only).
     // Best-of-3 on the short side recovers the engine's actual capability;
     // identical state fingerprints are asserted across every run.
-    val (epsBase, fpBase) =
+    val (epsBase, fpBase, evBase) =
       replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase", replayEvents)
     val runs4x = (1 to 3).map { i =>
       replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}-$i", replayEvents)
     }
     require(runs4x.map(_._2).distinct.size == 1, "nondeterministic state at 4N!")
-    val (eps4x, fp4x) = runs4x.maxBy(_._1)
+    val (eps4x, fp4x, ev4x) = runs4x.maxBy(_._1)
     val efficiency = (eps4x / epsBase) / 4.0
     val stateMatch = fpBase == fp4x
+    // work-proportionality evidence: CPU-seconds and task counts the engine
+    // spends must be ~flat across parallelism levels (ratio ~1.0); if they
+    // are, any wall-clock efficiency shortfall on this SINGLE box is
+    // bandwidth saturation, not a serialization bottleneck in the plan
+    val workRatio = if (evBase.cpuTimeSec > 0) ev4x.cpuTimeSec / evBase.cpuTimeSec else 0.0
+    def evJson(e: TaskEvidence): String =
+      s"""{"tasks":${e.tasks},"task_time_sec":${f"${e.taskTimeSec}%.1f"},"cpu_time_sec":${f"${e.cpuTimeSec}%.1f"},"shuffle_read_mb":${f"${e.shuffleReadMb}%.1f"},"shuffle_write_mb":${f"${e.shuffleWriteMb}%.1f"}}"""
 
     // reclaim the scratch feed/tables: a 4M-event run leaves ~14GB behind,
     // and repeated runs can fill the disk out from under the NEXT bench
@@ -193,7 +246,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch,"task_evidence_n":${evJson(evBase)},"task_evidence_4n":${evJson(ev4x)},"cpu_work_ratio_4n_over_n":${f"$workRatio%.3f"}}}"""
     )
   }
 }

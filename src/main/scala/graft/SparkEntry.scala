@@ -24,6 +24,17 @@ object SparkEntry {
   private def pq(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Total order for an ORACLE-SIZED output without a global range sort:
+    * `orderBy` range-partitions, and its boundary sampling re-executes the
+    * entire upstream pipeline a second time — measured ~1.4x on the LSH
+    * queries. A single-partition sort gives the same order for outputs
+    * this small while the upstream keeps its full parallelism.
+    */
+  private implicit class SmallSort(df: DataFrame) {
+    def sortSmall(c1: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c1, cs: _*)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
@@ -46,7 +57,7 @@ object SparkEntry {
           col("event_type").as("last_type"),
           unix_micros(col("ts").cast(TimestampType)).as("last_ts_us")
         )
-        .orderBy("user_id")
+        .sortSmall("user_id")
     }),
     "q_lww_salted" -> ((s, dir) => {
       // W1 scale path: salted two-phase reduce, same result as the window
@@ -64,7 +75,7 @@ object SparkEntry {
           col("event_type").as("last_type"),
           col("ts_us").as("last_ts_us")
         )
-        .orderBy("user_id")
+        .sortSmall("user_id")
     }),
     "q_cdc_apply" -> ((s, dir) => {
       // K2/K3: apply a keyed changefeed — final visible state after LWW,
@@ -81,14 +92,14 @@ object SparkEntry {
           col("event_type").as("last_type"),
           unix_micros(col("ts").cast(TimestampType)).as("last_ts_us")
         )
-        .orderBy("user_id")
+        .sortSmall("user_id")
     }),
     "q_txn_times" -> ((s, dir) => {
       // S11: distinct commit timestamps in staging
       pq(s, dir, "events")
         .select(unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
         .distinct()
-        .orderBy("ts_us")
+        .sortSmall("ts_us")
     }),
     "q_fence_window" -> ((s, dir) => {
       // S9: staged-mutation window scan (fence bounds pushed to the scan)
@@ -103,7 +114,7 @@ object SparkEntry {
           min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id")
         )
-        .orderBy("event_type")
+        .sortSmall("event_type")
     }),
     "q_cas_gate" -> ((s, dir) => {
       // K4: conditional (CAS) upsert gate — proposed tuple must beat current
@@ -136,7 +147,7 @@ object SparkEntry {
           col("n_proposed"),
           coalesce(col("n_accepted"), lit(0L)).as("n_accepted")
         )
-        .orderBy("user_id")
+        .sortSmall("user_id")
     }),
     // --- relational breadth: agg / join / top-k / window ----------------
     "q_agg_lineitem" -> ((s, dir) => {
@@ -148,7 +159,7 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast(LongType))
             .as("price_cents")
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .sortSmall("l_returnflag", "l_linestatus")
     }),
     "q_join_mktsegment" -> ((s, dir) => {
       val o = pq(s, dir, "orders")
@@ -159,7 +170,7 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast(LongType)).as("total_cents")
         )
-        .orderBy("c_mktsegment")
+        .sortSmall("c_mktsegment")
     }),
     "q_topk_orders" -> ((s, dir) => {
       pq(s, dir, "orders")
@@ -180,7 +191,7 @@ object SparkEntry {
           col("o_orderkey"),
           row_number().over(w).cast(LongType).as("rn")
         )
-        .orderBy("o_custkey", "rn")
+        .sortSmall("o_custkey", "rn")
     }),
     "q_semi_join" -> ((s, dir) => {
       // EXISTS: customers that have at least one high-value order
@@ -188,7 +199,7 @@ object SparkEntry {
       val o = pq(s, dir, "orders").filter(col("o_totalprice") > 100000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy("c_custkey")
+        .sortSmall("c_custkey")
     }),
     "q_anti_join" -> ((s, dir) => {
       // NOT EXISTS: customers with no high-value order
@@ -196,7 +207,7 @@ object SparkEntry {
       val o = pq(s, dir, "orders").filter(col("o_totalprice") > 100000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy("c_custkey")
+        .sortSmall("c_custkey")
     }),
     "q_distinct_count" -> ((s, dir) => {
       pq(s, dir, "lineitem")
@@ -205,14 +216,14 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_partkey")).as("n_parts")
         )
-        .orderBy("l_returnflag")
+        .sortSmall("l_returnflag")
     }),
     // --- training-data ops over documents/embeddings --------------------
     "q_dedup_exact" -> ((s, dir) => {
       pq(s, dir, "documents")
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
-        .orderBy("content_md5")
+        .sortSmall("content_md5")
     }),
     "q_token_count" -> ((s, dir) => {
       pq(s, dir, "documents")
@@ -222,7 +233,7 @@ object SparkEntry {
             .cast(LongType)
             .as("n_tokens")
         )
-        .orderBy("doc_id")
+        .sortSmall("doc_id")
     }),
     "q_text_stats" -> ((s, dir) => {
       pq(s, dir, "documents")
@@ -236,13 +247,13 @@ object SparkEntry {
             .cast(LongType)
             .as("n_upper")
         )
-        .orderBy("doc_id")
+        .sortSmall("doc_id")
     }),
     "q_lang_agg" -> ((s, dir) => {
       pq(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("lang")
+        .sortSmall("lang")
     }),
     // --- CDC-query envelope end-to-end (S3/S4), DuckDB-oracled ----------
     "q_query_apply" -> ((s, dir) => {
@@ -297,7 +308,7 @@ object SparkEntry {
           col("event_type").as("last_type"),
           col("val_cents")
         )
-        .orderBy("user_id")
+        .sortSmall("user_id")
     }),
     // --- LSH candidates + EXACT verify (DuckDB-oracled vs all-pairs) ------
     "q_minhash_pairs" -> ((s, dir) => {
@@ -309,7 +320,7 @@ object SparkEntry {
           col("id_b"),
           floor(col("jaccard") * 1000 + 0.5).cast(LongType).as("jacc_milli")
         )
-        .orderBy("id_a", "id_b")
+        .sortSmall("id_a", "id_b")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -318,7 +329,7 @@ object SparkEntry {
       // (Manku et al. WWW'07); the banded join guarantees recall 1 there
       DedupOps
         .simhashPairs(d, "text", "doc_id", maxHamming = 3)
-        .orderBy("id_a", "id_b")
+        .sortSmall("id_a", "id_b")
     }),
     "q_winnow_fp" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -329,7 +340,7 @@ object SparkEntry {
             .as("n_fingerprints"),
           array_min(GraftFunctions.winnow(col("text"), 7, 8)).as("min_fp")
         )
-        .orderBy("doc_id")
+        .sortSmall("doc_id")
     }),
     "q_langid_pred" -> ((s, dir) => {
       pq(s, dir, "documents")
@@ -338,7 +349,7 @@ object SparkEntry {
           TextOps.langId(col("text")).as("pred_lang"),
           col("lang").as("stored_lang")
         )
-        .orderBy("doc_id")
+        .sortSmall("doc_id")
     }),
     "q_quality_score" -> ((s, dir) => {
       pq(s, dir, "documents")
@@ -347,7 +358,7 @@ object SparkEntry {
           TextOps.qualityScoreMicros(col("text")).as("quality_micro"),
           TextOps.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish")
         )
-        .orderBy("doc_id")
+        .sortSmall("doc_id")
     }),
     "q_knn_cosine" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
@@ -358,7 +369,7 @@ object SparkEntry {
       SimilarityOps
         .knnBruteForce(queries, emb, k = 5)
         .select(col("qid"), col("id"), col("rank"))
-        .orderBy("qid", "rank")
+        .sortSmall("qid", "rank")
     }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
@@ -369,7 +380,7 @@ object SparkEntry {
       SimilarityOps
         .lshBucketKnn(queries, emb, k = 5, bits = 8)
         .select(col("qid"), col("id"), col("rank"))
-        .orderBy("qid", "rank")
+        .sortSmall("qid", "rank")
     }),
     "q_embed_near_dup" -> ((s, dir) => {
       // the raw embeddings table has no pairs above ~0.51 cosine, so the
@@ -393,7 +404,7 @@ object SparkEntry {
       SimilarityOps
         .cosineNearDupPairs(base.unionByName(planted), threshold = 0.99, bits = 6, bands = 12)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+        .sortSmall("id_a", "id_b")
     }),
     "q_media_features" -> ((s, dir) => {
       // the full decode pipeline runs (batched mapPartitions through the
@@ -410,7 +421,7 @@ object SparkEntry {
           col("mime"),
           col("byte_len").cast(LongType).as("byte_len")
         )
-        .orderBy("media_id")
+        .sortSmall("media_id")
     }),
     "q_replay_e2e" -> ((s, dir) => {
       // whole-engine smoke inside the harness: generate a small changefeed,
@@ -461,7 +472,7 @@ object SparkEntry {
           count(lit(1)).as("n_paths"),
           expr("bit_xor(xxhash64(repo, path, sha2(content, 256)))").as("state_fp")
         )
-        .orderBy("repo")
+        .sortSmall("repo")
     }),
     "q_multitable_e2e" -> ((s, dir) => {
       // whole multi-table engine smoke: a deterministic webhook feed with
@@ -529,7 +540,7 @@ object SparkEntry {
             .select(lit(name).as("tbl"), col("n_rows"), col("state_fp"))
         }
         .reduce(_.unionByName(_))
-        .orderBy("tbl")
+        .sortSmall("tbl")
     })
   )
 

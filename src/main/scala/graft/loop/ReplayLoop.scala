@@ -305,6 +305,25 @@ final class ReplayLoop(
     val q = start(Trigger.AvailableNow())
     q.awaitTermination()
   }
+
+  /** Age-triggered backfill↔streaming switch, the reference's
+    * `BackfillWindow` semantics (internal/source/logical/loop.go:394-441):
+    * when the committed consistent point lags `nowNanos` by more than
+    * `backfillWindowNanos`, run a maximal-throughput catch-up pass
+    * (AvailableNow over everything already in the feed) BEFORE starting the
+    * continuous trigger; a fresh table (zero fence) always backfills.
+    * Returns the streaming query, plus whether a backfill pass ran.
+    */
+  def startAuto(
+      backfillWindowNanos: Long,
+      nowNanos: Long = System.currentTimeMillis() * 1000000L,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): (StreamingQuery, Boolean) = {
+    val fence = committedFence
+    val stale = fence.isZero || fence.nanos < nowNanos - backfillWindowNanos
+    if (stale) runAvailableNow()
+    (start(trigger), stale)
+  }
 }
 
 object ReplayLoop {

@@ -87,6 +87,12 @@ object DedupOps {
     *   surfaced in the `crowded_buckets_skipped` driver log line rather than
     *   silently dropped.
     */
+  /** @param minEst when set, collided pairs with a signature-estimated
+    *   Jaccard below this are dropped BEFORE the pair-dedup shuffle — the
+    *   prefilter runs where the estimate is cheapest (both signatures are
+    *   already on the joined row), so the low-precision band noise never
+    *   reaches the distinct() or any downstream join.
+    */
   def minhashCandidatePairs(
       df: DataFrame,
       textCol: String,
@@ -94,7 +100,8 @@ object DedupOps {
       k: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketSize: Int = 2000
+      maxBucketSize: Int = 2000,
+      minEst: Option[Double] = None
   ): DataFrame = {
     require(numHashes % bands == 0)
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -103,10 +110,15 @@ object DedupOps {
       col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig")
     )
-    // ids only through the band join: signatures are re-attached once per
-    // DEDUPED pair, instead of riding the (bands x collisions) blow-up
+    // signatures RIDE the band join (a few hundred bytes per banded row):
+    // est_jaccard is then computable on the collided row itself, so the
+    // estimate prefilter drops false candidates BEFORE the dedup shuffle —
+    // measured much cheaper than the previous ids-only join followed by
+    // re-attaching signatures to every deduped candidate pair (two extra
+    // shuffle joins over the full candidate set)
     val banded = withSig.select(
       col("id"),
+      col("sig"),
       explode(
         array((0 until bands).map { b =>
           struct(
@@ -115,33 +127,33 @@ object DedupOps {
           )
         }: _*)
       ).as("bb")
-    ).select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val sized = SimilarityOps.capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
-    val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l
+    val l = sized.select(
+      col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = sized.select(
+      col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val collided = l
       .join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-
-    val sigA = withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sigB = withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    pairs
-      .join(sigA, "id_a")
-      .join(sigB, "id_b")
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (size(
+      .withColumn(
+        "est_jaccard",
+        size(
           filter(
             zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
             x => x
           )
-        ).cast("double") / numHashes).as("est_jaccard")
+        ).cast("double") / numHashes
       )
+    val prefiltered = minEst match {
+      case Some(t) => collided.filter(col("est_jaccard") >= t)
+      case None => collided
+    }
+    // est_jaccard is a pure function of the pair, so the distinct over
+    // (id_a, id_b, est) collapses multi-band collisions exactly as before
+    prefiltered.select("id_a", "id_b", "est_jaccard").distinct()
   }
 
   /** The full near-dup pipeline: MinHash-LSH candidates → signature-based
@@ -169,8 +181,10 @@ object DedupOps {
       estMargin: Double = 0.15,
       maxBucketSize: Int = 2000
   ): DataFrame = {
-    val cands = minhashCandidatePairs(df, textCol, idCol, k, numHashes, bands, maxBucketSize)
-      .filter(col("est_jaccard") >= threshold - estMargin)
+    val cands = minhashCandidatePairs(
+      df, textCol, idCol, k, numHashes, bands, maxBucketSize,
+      minEst = Some(threshold - estMargin)
+    )
     jaccardVerify(cands, df, textCol, idCol, k, threshold)
   }
 

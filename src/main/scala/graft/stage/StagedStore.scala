@@ -26,7 +26,18 @@ final class StagedStore(
     spark: SparkSession,
     val root: String,
     /** HLC nanos per staging partition bucket */
-    val bucketNanos: Long = 3600L * 1000000000L
+    val bucketNanos: Long = 3600L * 1000000000L,
+    /** When true, [[append]] repartitions by `(ts_bucket, 4-way key salt)`
+      * before writing — few large files per bucket, at the cost of
+      * shuffling the FULL batch volume once per micro-batch. Default
+      * false: staging is a transient pass-through buffer, and paying a
+      * whole-feed shuffle purely for file-count control is the wrong
+      * trade at 100 TB — per-batch file count is already bounded by
+      * (input splits x ts-buckets-per-batch), readers scan staging with
+      * split-sized tasks regardless of file layout, and retirement drops
+      * whole partition directories either way.
+      */
+    val coalesceAppend: Boolean = false
 ) {
   import StagedStore._
 
@@ -76,14 +87,15 @@ final class StagedStore(
   ): Boolean = {
     val marker = markerDir.resolve(s"$batchId")
     if (Files.exists(marker)) return false
-    val staged = mutations
+    val stamped = mutations
       .withColumn(SEQ, lit(nextSeq()))
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
-      // one shuffle so each ts bucket lands as O(few) files per batch
-      // instead of (tasks x buckets) small files; the 4-way key salt keeps
-      // write parallelism at 4x the bucket count (a batch usually spans
-      // only a handful of ts buckets)
-      .repartition(col(TS_BUCKET), pmod(xxhash64(col("key")), lit(4)))
+    // shuffle-free by default (see `coalesceAppend`): each input task
+    // writes its rows straight into the ts-bucket directories it touches
+    val staged =
+      if (coalesceAppend)
+        stamped.repartition(col(TS_BUCKET), pmod(xxhash64(col("key")), lit(4)))
+      else stamped
 
     validatePk match {
       case None =>

@@ -291,6 +291,45 @@ class ReplayLoopSpec extends SparkSpec {
     assert(table.log.latest().get.pkCols == Seq("rowid"))
   }
 
+  test("startAuto: stale consistent point triggers a backfill pass before streaming") {
+    val feedDir = tmpDir("feedauto")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2eauto")
+    def mut(id: Long, v: String, nanos: Long): String =
+      s"""{"after":{"repo":"r","path":"p$id","commit":"$v","lang":"x","content":"$v"},"key":["r","p$id"],"updated":"$nanos.0000000000"}"""
+    Files.writeString(
+      Paths.get(feedDir, "chunk=000000", "w1.ndjson"),
+      (Seq(mut(1, "a", 100L), mut(2, "b", 110L)) :+ s"""{"resolved":"200.0000000000"}""")
+        .mkString("", "\n", "\n")
+    )
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      saltBuckets = 4, maxFilesPerTrigger = 4
+    )
+    // fresh table: consistent point is zero -> stale at any window -> the
+    // catch-up pass runs BEFORE the continuous query starts (the
+    // reference's BackfillWindow switch, loop.go:394-441)
+    val (q1, backfilled1) = loop.startAuto(
+      backfillWindowNanos = 1000L,
+      nowNanos = 10000L
+    )
+    try {
+      assert(backfilled1, "zero fence must trigger backfill")
+      assert(loop.committedFence == Hlc(200L, 0), "backfill pass must have applied the feed")
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    // fence 200 within the window of now=500 -> no backfill, straight to
+    // streaming
+    val (q2, backfilled2) = loop.startAuto(
+      backfillWindowNanos = 1000L,
+      nowNanos = 500L
+    )
+    try assert(!backfilled2, "a fresh consistent point must skip backfill")
+    finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("CDC-query envelope drives the full loop: alternating key order, deletes, in-stream resolved") {
     val feedDir = tmpDir("feedq")
     Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
