@@ -384,8 +384,24 @@ final class SnapshotTable(
       .getOrElse(Hlc.Zero)
 
     val hlcTuple = struct(col(NANOS), col(LOGICAL))
+    // ONE shuffle serves both the per-key LWW fold and the (bucket, salt)
+    // write fan-out: `bucket` and the write salt are deterministic
+    // functions of the PK, so grouping by (bucket, salt, pk) yields exactly
+    // the per-pk groups — and an input explicitly repartitioned on
+    // (bucket, salt) already satisfies the aggregation's clustering
+    // requirement (HashPartitioning on a subset of the grouping keys), so
+    // Catalyst inserts NO second exchange between the fold and the write.
+    // The explicit partition count keeps AQE from coalescing the fan-out.
+    val saltCol = pmod(xxhash64(pkCols.map(col): _*), lit(writersPerBucket))
+    val SALT = "__wsalt"
     def lwwFold(df: DataFrame): DataFrame =
-      df.groupBy(pkCols.map(col): _*)
+      df.withColumn(SALT, saltCol)
+        .repartition(
+          math.max(1, touched.size * writersPerBucket),
+          col(BUCKET),
+          col(SALT)
+        )
+        .groupBy((Seq(BUCKET, SALT) ++ pkCols).distinct.map(col): _*)
         .agg(max_by(struct(df.columns.map(col): _*), hlcTuple).as("__row"))
         .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
 
@@ -447,16 +463,11 @@ final class SnapshotTable(
         sum(col(DELETED).cast(LongType)).as("tombstones")
       )
       .withColumn("__bp", col(BUCKET))
-      // (bucket, pk-salt) repartition: a bucket's rewrite fans out over up to
-      // `writersPerBucket` tasks/files — one hot bucket no longer serializes
-      // the COW write, and hash skew across reducers is diluted. Directory
-      // (`partitionBy`) writes tolerate many tasks per partition value. The
-      // partition count is explicit so AQE cannot coalesce the fan-out away.
-      .repartition(
-        touched.size * writersPerBucket,
-        col(BUCKET),
-        pmod(xxhash64(pkCols.map(col): _*), lit(writersPerBucket))
-      )
+      // no repartition here: the fold's (bucket, salt) exchange IS the
+      // write fan-out — a bucket's rewrite spreads over up to
+      // `writersPerBucket` tasks/files (one hot bucket never serializes
+      // the COW write), and directory (`partitionBy`) writes tolerate
+      // many tasks per partition value
       .write
       .mode("overwrite")
       .partitionBy("__bp")
