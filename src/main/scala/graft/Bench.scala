@@ -133,7 +133,6 @@ object Bench {
       val t0 = System.nanoTime()
       loop.runAvailableNow()
       val eps = numEvents / ((System.nanoTime() - t0) / 1e9)
-      spark.sparkContext.removeSparkListener(agg)
       val fp = table
         .read()
         .agg(
@@ -141,8 +140,14 @@ object Bench {
             .expr("bit_xor(xxhash64(repo, path, commit, sha2(content, 256)))")
         )
         .collect()(0)
-      (eps, if (fp.isNullAt(0)) 0L else fp.getLong(0), agg.evidence)
+      (eps, if (fp.isNullAt(0)) 0L else fp.getLong(0), agg)
     } finally spark.stop()
+  } match {
+    // evidence is read AFTER spark.stop() — the listener bus is
+    // asynchronous, and stop() drains it; removing the listener before
+    // the stop would silently drop the tail of the run's task events
+    // and undercount the evidence
+    case (eps, fp, agg) => (eps, fp, agg.evidence)
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,8 +252,11 @@ object Bench {
     // and shows the scaling the partitioning actually delivers when the
     // added cores come with their own resources (as executors do).
     val lowBase = math.max(1, scaleBase / 4)
+    // dedicated workDir: "run$lowBase" could collide with the base run's
+    // dir when scaleBase <= 4, and a reused table/checkpoint would measure
+    // a no-op catch-up instead of a replay
     val (epsLow, fpLow, _) =
-      replayAt(lowBase, feedDir, s"$benchRoot/run$lowBase", replayEvents)
+      replayAt(lowBase, feedDir, s"$benchRoot/runlow-$lowBase", replayEvents)
     val efficiencyLow = (epsBase / epsLow) / (scaleBase.toDouble / lowBase)
     require(fpLow == fpBase, "state diverged at low parallelism!")
     // work-proportionality evidence: CPU-seconds and task counts the engine

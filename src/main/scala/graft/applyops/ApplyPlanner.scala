@@ -161,26 +161,36 @@ object ApplyPlanner {
       // "never infer doubles" rule (Mutation.scala): a decimal-looking
       // value ("4E+2", "0.1") becomes DecimalType, exact from birth,
       // instead of a lossy double.
-      import spark.implicits._
       // exponent forms like 4E+2 infer as negative-scale decimals, which
       // Spark disallows by default: permit them during inference only,
-      // then normalize to scale 0 (4E+2 -> decimal(3,0) == 400, exact)
-      val negScaleKey = "spark.sql.legacy.allowNegativeScaleOfDecimal"
-      val prevNegScale = spark.conf.getOption(negScaleKey)
-      spark.conf.set(negScaleKey, "true")
-      val inferred =
-        try
-          spark.read
-            .option("prefersDecimal", "true")
-            .json(window.select(col("data")).na.drop().as[String])
-            .schema
-        finally prevNegScale match {
-          case Some(v) => spark.conf.set(negScaleKey, v)
-          case None => spark.conf.unset(negScaleKey)
-        }
+      // then normalize to scale 0 (4E+2 -> decimal(3,0) == 400, exact).
+      // The permissive conf lives on an ISOLATED session (newSession:
+      // same SparkContext, separate SQL conf), so concurrent plan()
+      // calls — MultiTableLoop merges one FK level's tables in
+      // parallel — never race on a set/restore of the caller's
+      // session-global conf.
+      val inferSession = spark.newSession()
+      inferSession.conf
+        .set("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
+      val inferred = inferSession.read
+        .option("prefersDecimal", "true")
+        .json(
+          inferSession.createDataset(
+            window.select(col("data")).na.drop().rdd.map(_.getString(0))
+          )(org.apache.spark.sql.Encoders.STRING)
+        )
+        .schema
+      // normalize negative-scale decimals EVERYWHERE in the inferred type
+      // (top level, struct fields, array/map elements): one surviving
+      // DECIMAL(p,-s) in the committed schema DDL would make every later
+      // StructType.fromDDL throw once the permissive conf is gone
       def sanitize(dt: DataType): DataType = dt match {
         case d: DecimalType if d.scale < 0 =>
           DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision - d.scale), 0)
+        case s: StructType =>
+          StructType(s.fields.map(f => f.copy(dataType = sanitize(f.dataType))))
+        case ArrayType(e, n) => ArrayType(sanitize(e), n)
+        case MapType(k, v, n) => MapType(sanitize(k), sanitize(v), n)
         case other => other
       }
       val newFields = unknown.flatMap { n =>

@@ -91,14 +91,9 @@ final class MultiTableLoop(
     // batch identity = source-file-set hash, not the engine batch id: a
     // wiped checkpoint renumbers batches from 0, and an id-keyed marker
     // would wrongly skip a NEW batch reusing an old id (see ReplayLoop)
-    val files = lines
-      .select(col(Changefeed.SRC_FILE))
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .filter(_.nonEmpty)
-      .toSeq
-    val stageKey = ReplayLoop.batchKeyOf(files)
+    val files = ReplayLoop.distinctFiles(lines)
+    val stageKey =
+      if (files.isEmpty) batchId else ReplayLoop.batchKeyOf(files)
 
     // stage EVERY table's slice in one Spark job (idempotent per batch):
     // partitionBy(topic, ts_bucket) + a single per-topic drift aggregation

@@ -132,8 +132,13 @@ final class ReplayLoop(
     // 0, and an id-keyed marker would wrongly skip a brand-new batch that
     // happens to reuse an old id. The file-set hash is stable under
     // renumbering AND still dedups true redeliveries of the same files.
-    val files = distinctFiles(lines)
-    val stageKey: Long = ReplayLoop.batchKeyOf(files)
+    val files = ReplayLoop.distinctFiles(lines)
+    // fall back to the engine batch id when the batch has no file
+    // provenance (in-memory DataFrames via the public processBatch):
+    // hashing an empty file set would collapse EVERY such batch onto one
+    // constant key and silently skip all but the first
+    val stageKey: Long =
+      if (files.isEmpty) batchId else ReplayLoop.batchKeyOf(files)
     val lineage = s"batch=$batchId" +: files
 
     // cheap second scan: only lines containing a resolved marker are parsed
@@ -243,19 +248,6 @@ final class ReplayLoop(
     }
   }
 
-  /** Distinct source files of this batch — cheap: file-name column only.
-    * Feeds both the lineage record and the batch identity key.
-    */
-  private def distinctFiles(lines: DataFrame): Seq[String] =
-    lines
-      .select(col(Changefeed.SRC_FILE).as("f"))
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .filter(_.nonEmpty)
-      .sorted
-      .toSeq
-
   /** File cap for one trigger: `maxFilesPerTrigger`, tightened by the byte
     * budget divided by the observed mean feed-file size (sampled from the
     * directory listing — metadata only).
@@ -327,6 +319,20 @@ final class ReplayLoop(
 }
 
 object ReplayLoop {
+
+  /** Distinct source files of a batch — cheap: file-name column only.
+    * Feeds both the lineage record and the batch identity key; shared by
+    * the single- and multi-table loops.
+    */
+  def distinctFiles(lines: org.apache.spark.sql.DataFrame): Seq[String] =
+    lines
+      .select(org.apache.spark.sql.functions.col(graft.feed.Changefeed.SRC_FILE).as("f"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(_.nonEmpty)
+      .sorted
+      .toSeq
 
   /** Deterministic 64-bit identity of a batch's source-file set: SHA-256 of
     * the sorted file names, folded to a Long. Stable across checkpoint

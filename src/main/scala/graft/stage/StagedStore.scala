@@ -99,7 +99,26 @@ final class StagedStore(
 
     validatePk match {
       case None =>
-        staged.write.mode("append").partitionBy(TS_BUCKET).parquet(dataDir)
+        // no PK validation (e.g. a PK-less spec with a synthetic rowid),
+        // but the payload FIELD SET must still be collected — schema
+        // evolution at merge time reads it from observedFields()
+        val obs = org.apache.spark.sql.Observation(
+          s"stage-$batchId-${java.util.UUID.randomUUID()}"
+        )
+        staged
+          .observe(
+            obs,
+            array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
+              .as("fields")
+          )
+          .write
+          .mode("append")
+          .partitionBy(TS_BUCKET)
+          .parquet(dataDir)
+        obs.get.get("fields") match {
+          case Some(f: Seq[_]) => recordFields(f.map(_.toString))
+          case _ => ()
+        }
         Files.writeString(marker, "{}")
       case Some((pkArity, pkSrcNames)) =>
         // a PK-less spec (synthetic rowid) never validates here, but guard
@@ -154,8 +173,17 @@ final class StagedStore(
     * atomic rename; single writer per store). Keeps [[observedFields]] an
     * O(1) file read no matter how many batches have ever been staged.
     */
+  private def readFieldsFile(): Set[String] = {
+    if (!Files.exists(fieldsFile)) return Set.empty
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = mapper.readTree(Files.readString(fieldsFile)).get("fields")
+    if (f == null) Set.empty
+    else f.elements().asScala.map(_.asText()).toSet
+  }
+
   private[graft] def recordFields(fields: Seq[String]): Unit = {
-    val merged = (observedFields() ++ fields).toSeq.sorted
+    val merged = (readFieldsFile() ++ fields).toSeq.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     val arr = node.putArray("fields")
@@ -176,12 +204,23 @@ final class StagedStore(
     * [[retire]], so the field universe cannot live in them.
     */
   def observedFields(): Set[String] = {
-    if (!Files.exists(fieldsFile)) return Set.empty
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val f = mapper.readTree(Files.readString(fieldsFile)).get("fields")
-    if (f == null) Set.empty
-    else f.elements().asScala.map(_.asText()).toSet
+    if (!Files.exists(fieldsFile)) {
+      // one-time migration: stores written before the compacted file kept
+      // per-batch field sets in the markers — fold them forward so staged-
+      // but-unmerged batches don't lose their field universe
+      val legacy = StagedStore
+        .listDir(markerDir)
+        .flatMap { p =>
+          val f = mapper.readTree(Files.readString(p)).get("fields")
+          if (f == null) Nil else f.elements().asScala.map(_.asText()).toList
+        }
+        .toSet
+      if (legacy.nonEmpty) recordFields(legacy.toSeq)
+      return legacy
+    }
+    readFieldsFile()
   }
 
   private def schema: StructType = StructType(

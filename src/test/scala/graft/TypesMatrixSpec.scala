@@ -219,6 +219,27 @@ class TypesMatrixSpec extends SparkSpec {
     assert(rows(2)._1 == BigDecimal("0.01") && rows(2)._2 == 1L)
   }
 
+  test("evolved NESTED exponent decimals are sanitized: table stays readable after commit") {
+    // 4E+2 inside a struct/array infers decimal(1,-2) during evolution;
+    // an unsanitized negative scale in the committed schema DDL would make
+    // every later StructType.fromDDL (readRaw/payloadSchema) throw
+    val spec = TableSpec(
+      StructType(Seq(StructField("pk", IntegerType))),
+      Seq("pk")
+    )
+    val window = Seq(
+      ("[1]", """{"pk":1,"meta":{"x":4E+2},"vals":[4E+2]}""", 10L, 0, "f")
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner.plan(spark, spec, window, 4)
+    val t = new SnapshotTable(spark, tmpDir("nestneg"), numBuckets = 2)
+    t.merge(planned.batch, Seq("pk"), "k1", Hlc(10, 0))
+    // round-trips through DDL: would throw NEGATIVE_SCALE_DISALLOWED if a
+    // decimal(p,-s) survived anywhere in the schema tree
+    val out = t.read()
+    assert(out.count() == 1)
+    assert(out.select(col("meta.x").cast(StringType)).as[String].collect()(0) == "400")
+  }
+
   test("decimal exponent forms normalize exactly (4e+2 -> 400, 4e-2 -> 0.04)") {
     val schema2 = StructType(
       Seq(StructField("pk", IntegerType), StructField("d", DecimalType(10, 4)))
