@@ -34,6 +34,35 @@ object ExplainMain {
     println("=== StagedStore.selectWindow(2000, 5000) ===")
     stage.selectWindow(Hlc(2000, 0), Hlc(5000, 0)).explain("formatted")
 
+    // merge-on-read, bucket-local reads: a table with a delta in ONE
+    // bucket must read its other buckets raw — expect NO Exchange in the
+    // clean-bucket plan (one delta must not un-do bucket pruning)
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-explain-mor")
+        .toString
+      val t = new graft.table.SnapshotTable(spark, root, numBuckets = 8,
+        compactEvery = 4)
+      val base = (0 until 64)
+        .map(i => (s"r$i", "p", "v1", 10L, 0, false))
+        .toDF("repo", "path", "content", "__hlc_nanos", "__hlc_logical", "__deleted")
+      t.merge(base, Seq("repo", "path"), "k1", Hlc(10, 0))
+      t.merge(
+        Seq(("r3", "p", "v2", 20L, 0, false))
+          .toDF("repo", "path", "content", "__hlc_nanos", "__hlc_logical", "__deleted"),
+        Seq("repo", "path"), "k2", Hlc(20, 0)
+      )
+      val meta = t.log.latest().get
+      val dirty = meta.deltas.filter(_._2.nonEmpty).keys.map(_.toInt).toSet
+      val clean = meta.buckets.keys.map(_.toInt).toSet -- dirty
+      println(s"=== MOR bucket-local read: deltas in buckets $dirty; " +
+        s"readCurrent over CLEAN buckets $clean (expect NO Exchange) ===")
+      t.readCurrent(Some(clean)).explain("formatted")
+      println("=== MOR full read (expect the max_by fold over the " +
+        s"${dirty.size} dirty bucket(s) only, unioned with raw clean buckets) ===")
+      t.readCurrent().explain("formatted")
+    }
+
     println("=== salted LWW dedup (expect 2 aggregate phases, no Window) ===")
     graft.dedup.LastWriterWins
       .dedupSalted(
