@@ -382,6 +382,25 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank"))
         .sortSmall("qid", "rank")
     }),
+    "q_knn_ivf" -> ((s, dir) => {
+      // IVF-Flat through the full plumbing (sample-trained coarse
+      // quantizer -> inverted-list assignment -> probe join -> exact
+      // re-rank) in FULL-PROBE mode (nprobe == nlist), which is exactly
+      // brute force — so the DuckDB brute-force top-k oracles the entire
+      // IVF path; partial-probe recall is golden-tested in
+      // TrainingOpsSpec
+      val emb = pq(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb
+        .filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cents =
+        SimilarityOps.ivfTrainCentroids(emb, nlist = 16, iters = 4, sampleSize = 1024)
+      SimilarityOps
+        .ivfSearch(queries, emb, cents, k = 5, nprobe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .sortSmall("qid", "rank")
+    }),
     "q_embed_near_dup" -> ((s, dir) => {
       // the raw embeddings table has no pairs above ~0.51 cosine, so the
       // near-dup operator is exercised on base ∪ planted perturbations:
@@ -697,6 +716,15 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin
     },
     "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT qid, id, rank FROM (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         CAST(row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS BIGINT) AS rank
+        |  FROM q CROSS JOIN e
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // full-probe IVF is exactly brute force: same oracle as q_knn_cosine
+    "q_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
         |SELECT qid, id, rank FROM (

@@ -191,4 +191,117 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF-Flat coarse quantizer: `nlist` centroids trained with Lloyd
+    * iterations on a bounded DETERMINISTIC sample of the base (the
+    * FAISS-style recipe — training cost is independent of base size; the
+    * sample is the `sampleSize` lowest `xxhash64(id)` rows, so the model
+    * is reproducible across cluster sizes with no stored state beyond the
+    * returned centroids). Centroids are L2-normalized so cosine assignment
+    * reduces to a dot product.
+    */
+  def ivfTrainCentroids(
+      base: DataFrame, // (id, vec)
+      nlist: Int,
+      iters: Int = 5,
+      sampleSize: Int = 4096
+  ): Array[Array[Double]] = {
+    require(nlist >= 1)
+    val sample: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .filter(_.nonEmpty)
+    require(sample.length >= nlist, s"need >= $nlist sample vectors")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.max(1e-12, math.sqrt(v.map(x => x * x).sum))
+      v.map(_ / n)
+    }
+    def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.MinValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { d += cents(c)(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var cents = sample.take(nlist).map(normalize)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty list keeps its centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }
+    }
+    cents
+  }
+
+  private def centsLiteral(cents: Array[Array[Double]]): Column =
+    array(cents.map(c => array(c.map(lit): _*)): _*)
+
+  /** Nearest-centroid list id for a vector column (argmax dot against the
+    * normalized centroid literal — pure Catalyst, codegen'd).
+    */
+  def ivfListId(vec: Column, cents: Array[Array[Double]]): Column = {
+    val sims = transform(centsLiteral(cents), c => dot(vec, c))
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF-Flat search: assign the base to inverted lists, probe the
+    * `nprobe` nearest lists per query, exact cosine re-rank within the
+    * probed lists. `nprobe == nlist` probes every list and is EXACTLY
+    * brute force (the oracle mode); smaller `nprobe` trades recall for a
+    * `nprobe/nlist` scan fraction — the 100 TB path: the inverted-list
+    * assignment is computed once per base (in practice persisted as a
+    * partition column, so a probe prunes whole partitions).
+    * Returns (qid, id, cos, rank <= k).
+    */
+  def ivfSearch(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      cents: Array[Array[Double]],
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val nlist = cents.length
+    val probes = math.min(nprobe, nlist)
+    val assigned = base.withColumn("list_id", ivfListId(col("vec"), cents))
+    // nprobe nearest centroids per query: sort (−sim, idx) pairs, slice
+    val simIdx = zip_with(
+      transform(centsLiteral(cents), c => dot(col("qvec"), c)),
+      sequence(lit(0), lit(nlist - 1)),
+      (s, i) => struct((-s).as("neg"), i.as("idx"))
+    )
+    val probeIds = transform(
+      slice(array_sort(simIdx), 1, probes),
+      p => p.getField("idx").cast("int")
+    )
+    val probed = queries
+      .withColumn("list_id", explode(probeIds))
+    probed
+      .join(assigned, "list_id") // shuffle keyed by list id: scan fraction = nprobe/nlist
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+        )
+      )
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
 }

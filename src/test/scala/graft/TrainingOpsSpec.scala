@@ -202,6 +202,57 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF full-probe equals brute force; partial probe keeps good recall") {
+    // clustered base so the coarse quantizer has real structure to learn
+    val base = (0 until 400)
+      .map { i =>
+        val r = new scala.util.Random(i)
+        val c = i % 8 // 8 planted clusters
+        val center = Array.tabulate(16)(d => math.sin(c * 1.3 + d * 0.5))
+        (i.toLong, center.map(x => (x + 0.15 * (r.nextDouble() * 2 - 1)).toFloat))
+      }
+      .toDF("id", "vec")
+    val queries = base
+      .filter($"id" < 12)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val cents =
+      SimilarityOps.ivfTrainCentroids(base, nlist = 8, iters = 4, sampleSize = 256)
+    assert(cents.length == 8 && cents.forall(_.length == 16))
+    // training is deterministic: same inputs -> identical centroids
+    val cents2 =
+      SimilarityOps.ivfTrainCentroids(base, nlist = 8, iters = 4, sampleSize = 256)
+    assert(
+      cents.zip(cents2).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x == y }
+      }
+    )
+    val exact = SimilarityOps
+      .knnBruteForce(queries, base, 5)
+      .select("qid", "id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    // nprobe == nlist probes every inverted list => EXACTLY brute force
+    val full = SimilarityOps
+      .ivfSearch(queries, base, cents, k = 5, nprobe = 8)
+      .select("qid", "id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(full == exact, "full-probe IVF must reproduce brute force exactly")
+    // nprobe = 2 of 8 scans ~1/4 of the base per query, recall stays high
+    // on clustered data (the query's own cluster is always probed first)
+    val partial = SimilarityOps
+      .ivfSearch(queries, base, cents, k = 5, nprobe = 2)
+      .select("qid", "id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall =
+      (exact.map(t => (t._1, t._2)) & partial).size.toDouble / exact.size
+    assert(recall >= 0.8, s"partial-probe recall $recall too low")
+  }
+
   test("embedding cosine near-dup pairs finds planted duplicates") {
     val r = new scala.util.Random(7)
     val vecs = (0 until 40).map { i =>
