@@ -322,6 +322,25 @@ object SparkEntry {
         )
         .sortSmall("id_a", "id_b")
     }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // the exact n-gram-Jaccard operator standalone (no LSH in front):
+      // all-pairs within a bounded id block, hashed-long shingle sets.
+      // This is the verify stage every near-dup pipeline shares, oracled
+      // directly against DuckDB's string-set Jaccard.
+      val d = pq(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = d
+        .select(col("doc_id").as("id_a"))
+        .crossJoin(d.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      DedupOps
+        .jaccardVerify(pairs, d, "text", "doc_id", k = 5, threshold = 0.3)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          floor(col("jaccard") * 1000 + 0.5).cast(LongType).as("jacc_milli")
+        )
+        .sortSmall("id_a", "id_b")
+    }),
     "q_simhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
       val d = pq(s, dir, "documents")
@@ -664,6 +683,19 @@ object SparkEntry {
         |       CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) * 1000 + 0.5) AS BIGINT) AS jacc_milli
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) < 5 THEN [text]
+        |              ELSE list_distinct(list_transform(range(1, len(text)-5+2), i -> text[i:i+4]))
+        |         END AS s
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) * 1000 + 0.5) AS BIGINT) AS jacc_milli
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_langid_pred" -> {
       def lst(words: Seq[String]): String =
