@@ -186,9 +186,11 @@ object Bench {
     // happens to run first (measured ~8s of pure warmup on the leadoff
     // query otherwise)
     headline.foreach { name =>
+      // NonFatal only: a broken query just stays cold, but OOM/interrupts
+      // must not let the bench publish timings from a degraded JVM
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
@@ -270,10 +272,8 @@ object Bench {
     // reclaim the scratch feed/tables: a 4M-event run leaves ~14GB behind,
     // and repeated runs can fill the disk out from under the NEXT bench
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rm)
-      }
+      if (java.nio.file.Files.isDirectory(p))
+        graft.util.Dirs.listDir(p).foreach(rm)
       java.nio.file.Files.deleteIfExists(p)
     }
     rm(java.nio.file.Paths.get(benchRoot))

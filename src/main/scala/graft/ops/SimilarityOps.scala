@@ -209,12 +209,16 @@ object SimilarityOps {
       sampleSize: Int = 4096
   ): Array[Array[Double]] = {
     require(nlist >= 1)
+    // cast to array<double> BEFORE collecting: the base may carry
+    // array<float> (stored embeddings) or array<double> (any
+    // Catalyst-computed vector) — the cast makes the driver-side decode
+    // element-type-agnostic
     val sample: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize)
-      .select(col("vec"))
+      .select(col("vec").cast("array<double>"))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
       .filter(_.nonEmpty)
     require(sample.length >= nlist, s"need >= $nlist sample vectors")
     val dim = sample(0).length

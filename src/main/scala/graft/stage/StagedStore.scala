@@ -130,7 +130,12 @@ final class StagedStore(
               pkSrcNames
                 .map(n => get_json_object(col("data"), s"$$.$n").isNull)
                 .reduce(_ || _)
-        val obs = org.apache.spark.sql.Observation(s"stage-$batchId")
+        // globally-unique name: Observations match by name on the shared
+        // listener bus, so two sessions staging the same stageKey
+        // concurrently would otherwise read each other's drift metrics
+        val obs = org.apache.spark.sql.Observation(
+          s"stage-$batchId-${java.util.UUID.randomUUID()}"
+        )
         staged
           .observe(
             obs,
@@ -182,8 +187,30 @@ final class StagedStore(
     else f.elements().asScala.map(_.asText()).toSet
   }
 
+  /** Field sets recorded per-marker by the pre-compaction format. Folded in
+    * whenever the compacted file is first created so staged-but-unmerged
+    * pre-upgrade batches keep their field universe — the fold must run on
+    * the first WRITE, not only on the first read: the loop's own first
+    * append calls [[recordFields]] before any [[observedFields]] call, and
+    * creating `_fields` from the new batch alone would orphan the legacy
+    * sets forever.
+    */
+  private def legacyMarkerFields(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    StagedStore
+      .listDir(markerDir)
+      .flatMap { p =>
+        val f = mapper.readTree(Files.readString(p)).get("fields")
+        if (f == null) Nil else f.elements().asScala.map(_.asText()).toList
+      }
+      .toSet
+  }
+
   private[graft] def recordFields(fields: Seq[String]): Unit = {
-    val merged = (readFieldsFile() ++ fields).toSeq.sorted
+    val legacy =
+      if (!Files.exists(fieldsFile)) legacyMarkerFields() else Set.empty[String]
+    val merged = (readFieldsFile() ++ legacy ++ fields).toSeq.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     val arr = node.putArray("fields")
@@ -204,20 +231,10 @@ final class StagedStore(
     * [[retire]], so the field universe cannot live in them.
     */
   def observedFields(): Set[String] = {
-    import scala.jdk.CollectionConverters._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     if (!Files.exists(fieldsFile)) {
-      // one-time migration: stores written before the compacted file kept
-      // per-batch field sets in the markers — fold them forward so staged-
-      // but-unmerged batches don't lose their field universe
-      val legacy = StagedStore
-        .listDir(markerDir)
-        .flatMap { p =>
-          val f = mapper.readTree(Files.readString(p)).get("fields")
-          if (f == null) Nil else f.elements().asScala.map(_.asText()).toList
-        }
-        .toSet
-      if (legacy.nonEmpty) recordFields(legacy.toSeq)
+      // read-side half of the migration (see [[legacyMarkerFields]])
+      val legacy = legacyMarkerFields()
+      if (legacy.nonEmpty) recordFields(Nil)
       return legacy
     }
     readFieldsFile()
@@ -363,14 +380,9 @@ object StagedStore {
   val TS_BUCKET = "ts_bucket"
   val SEQ = "stage_seq"
 
-  /** Eager, stream-closing directory listing (Files.list leaks an fd if the
-    * stream is never closed — this runs once per micro-batch for days).
-    */
-  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(p)) Nil
-    else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
-  }
+  /** Eager, stream-closing directory listing (shared impl: [[graft.util.Dirs]]). */
+  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.util.Dirs.listDir(p)
 
   /** ONE-PASS staging of a multi-topic batch.
     *

@@ -83,14 +83,12 @@ final class CommitLog(root: String) {
     dir.resolve(f"$version%020d.json")
 
   def listVersions(): Seq[Long] =
-    scala.util.Using.resource(Files.list(dir)) {
-      _.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.startsWith("."))
-        .map(_.stripSuffix(".json").toLong)
-        .toSeq
-        .sorted
-    }
+    graft.util.Dirs
+      .listDir(dir)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
 
   def latest(): Option[CommitMeta] =
     listVersions().lastOption.map(read)

@@ -584,15 +584,9 @@ object SnapshotTable {
       )
     )
 
-  /** List a directory's entries eagerly, closing the underlying stream
-    * (Files.list leaks a file descriptor otherwise — fatal on a driver that
-    * merges once per micro-batch for days).
-    */
-  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.exists(p)) Nil
-    else scala.util.Using.resource(java.nio.file.Files.list(p))(_.iterator().asScala.toSeq)
-  }
+  /** Eager, stream-closing directory listing (shared impl: [[graft.util.Dirs]]). */
+  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.util.Dirs.listDir(p)
 
   /** Per-bucket row counts of a freshly written snapshot version, from the
     * parquet file footers (driver-side metadata reads — no Spark job).
