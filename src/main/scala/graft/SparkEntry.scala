@@ -322,6 +322,20 @@ object SparkEntry {
         )
         .sortSmall("id_a", "id_b")
     }),
+    "q_dup_clusters" -> ((s, dir) => {
+      // pairs -> duplicate CLUSTERS: near-dup similarity is not transitive,
+      // so canonical-doc selection needs connected components over the
+      // pair graph (large-star/small-star; O(log n) rounds). Edge source is
+      // the LSH+exact-verify pipeline at threshold 0.5 — the regime where
+      // its output is oracle-proven equal to all-pairs Jaccard — so the
+      // DuckDB recursive-CTE components oracle the whole clustering path.
+      val d = pq(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDupPairs(
+        d, "text", "doc_id", k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      DedupOps
+        .connectedComponents(pairs)
+        .sortSmall("id")
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // the exact n-gram-Jaccard operator standalone (no LSH in front):
       // all-pairs within a bounded id block, hashed-long shingle sets.
@@ -684,6 +698,26 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) < 5 THEN [text]
+        |              ELSE list_distinct(list_transform(range(1, len(text)-5+2), i -> text[i:i+4]))
+        |         END AS s
+        |  FROM documents
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+        |),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        |)
+        |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -293,4 +293,127 @@ object DedupOps {
       )
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------- duplicate clustering
+
+  /** Connected components over an undirected pair table — the clustering
+    * step of the near-dup pipeline (pairs → duplicate groups → one
+    * canonical doc per group). Near-dup similarity is not transitive, so a
+    * pipeline that drops "the second doc of each pair" double-drops along
+    * chains; the standard practice is to collapse the pair graph into
+    * components and keep one representative per component.
+    *
+    * Alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * is a groupBy + join keyed on the node id, the edge set contracts
+    * toward star graphs centered at each component's minimum id, and
+    * convergence takes O(log n) rounds independent of component DIAMETER —
+    * a 100 TB pair table with million-node chains converges in ~a dozen
+    * shuffles where naive min-label propagation needs O(diameter) rounds.
+    * Each round's edge set is localCheckpoint'ed so the iterative plan
+    * doesn't accrete (at cluster scale, point the checkpoints at reliable
+    * storage instead).
+    *
+    * Returns (id, component) where component = min id of the node's
+    * component; every node appearing in `pairs` is present, singletons
+    * included if they arrive as self-referencing rows (self loops are
+    * dropped from the edge set but their ids are kept).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25
+  ): DataFrame = {
+    val allNodes = pairs
+      .select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical undirected edge set (lo, hi), no self loops
+    var edges = pairs
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v")
+      )
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))
+      ).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+    // Processes the SYMMETRIC adjacency so both endpoints contribute.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      val m = least(col("mn"), col("u"))
+      sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(m.as("u"), col("v").as("v")) // m < u < v ⇒ already canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient each edge to its larger endpoint v; all smaller
+    // neighbors u (and v itself) link to m = min(Γ(v)). m ≤ u < v for every
+    // joined row, so both emitted edges are already canonical — pure
+    // Catalyst, no lambda.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min("u").as("m"))
+      val joined = e.join(mins, "v")
+      val neighborLinks = joined
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+      val centerLinks = joined.select(col("m").as("u"), col("v").as("v"))
+      neighborLinks
+        .union(centerLinks)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds"
+      )
+    // fixpoint is a star forest rooted at each component's min: (u, v) with
+    // u the center. Nodes absent from the final edges are their own centers.
+    val members = edges.select(col("v").as("id"), col("u").as("component"))
+    allNodes
+      .join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Keep one representative per duplicate cluster (the min id), dropping
+    * every other member — the materialization step after
+    * [[connectedComponents]].
+    */
+  def dedupByComponents(
+      df: DataFrame,
+      components: DataFrame, // (id, component)
+      idCol: String
+  ): DataFrame =
+    df.join(
+      components.filter(col("id") =!= col("component")).select(col("id")),
+      df(idCol) === col("id"),
+      "left_anti"
+    )
 }

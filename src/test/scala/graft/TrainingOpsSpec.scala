@@ -253,6 +253,73 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"partial-probe recall $recall too low")
   }
 
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root-chasing after all unions; canonical label = min id of the set
+    val byRoot = (0 until n).groupBy(find)
+    byRoot.flatMap { case (_, ids) =>
+      val m = ids.min.toLong
+      ids.map(i => i.toLong -> m)
+    }
+  }
+
+  test("connected components match union-find on a random pair graph") {
+    val r = new scala.util.Random(11)
+    val n = 300
+    val es = (0 until 260)
+      .map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = es.toDF("id_a", "id_b")
+    val got = DedupOps
+      .connectedComponents(pairs)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val expected = unionFind(n, es)
+    val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.keySet == touched)
+    touched.foreach { id =>
+      assert(got(id) == expected(id), s"node $id: got ${got(id)}, want ${expected(id)}")
+    }
+  }
+
+  test("connected components converge on a long chain in O(log n) rounds") {
+    // a 400-node chain has diameter 399: label propagation would need ~400
+    // rounds; large-star/small-star must finish inside the default 25
+    val es = (0L until 399L).map(i => (i, i + 1))
+    val got = DedupOps
+      .connectedComponents(es.toDF("id_a", "id_b"))
+      .as[(Long, Long)]
+      .collect()
+    assert(got.length == 400)
+    assert(got.forall(_._2 == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("dedupByComponents keeps exactly one representative per cluster") {
+    val docs = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = DedupOps.connectedComponents(pairs)
+    val kept = DedupOps
+      .dedupByComponents(docs, comps, "doc_id")
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    // clusters {1,2,3} -> keep 1, {7,9} -> keep 7; all singletons kept
+    assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L))
+  }
+
   test("embedding cosine near-dup pairs finds planted duplicates") {
     val r = new scala.util.Random(7)
     val vecs = (0 until 40).map { i =>
