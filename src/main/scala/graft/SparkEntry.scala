@@ -322,6 +322,28 @@ object SparkEntry {
         )
         .sortSmall("id_a", "id_b")
     }),
+    "q_corpus_curate" -> ((s, dir) => {
+      // the full corpus-curation pipeline COMPOSED end-to-end, one oracled
+      // answer: exact dedup -> near-dup clustering -> canonical selection
+      // -> quality gate -> per-language doc/token accounting. Each stage is
+      // individually oracled elsewhere; this row proves they compose.
+      val d = pq(s, dir, "documents")
+      val exact = DedupOps.exactDedup(d, "text", "doc_id")
+      val pairs = DedupOps.minhashNearDupPairs(
+        exact, "text", "doc_id", k = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      val canonical =
+        DedupOps.dedupByComponents(exact, DedupOps.connectedComponents(pairs), "doc_id")
+      canonical
+        .filter(TextOps.qualityScoreMicros(col("text")) >= 820000)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(filter(split(col("text"), " "), t => length(t) > 0)))
+            .cast(LongType)
+            .as("n_tokens")
+        )
+        .sortSmall("lang")
+    }),
     "q_dup_clusters" -> ((s, dir) => {
       // pairs -> duplicate CLUSTERS: near-dup similarity is not transitive,
       // so canonical-doc selection needs connected components over the
@@ -698,6 +720,60 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_corpus_curate" -> {
+      def lst(words: Seq[String]): String =
+        words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE exactk AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+         |),
+         |docs AS (SELECT d.* FROM documents d JOIN exactk e USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(text) < 5 THEN [text]
+         |              ELSE list_distinct(list_transform(range(1, len(text)-5+2), i -> text[i:i+4]))
+         |         END AS s
+         |  FROM docs
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+         |),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u AS id, u AS r FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+         |),
+         |dropids AS (
+         |  SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |  WHERE id <> component
+         |),
+         |canon AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT id FROM dropids)),
+         |f AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(length(text) AS DOUBLE) AS n_chars,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
+         |         CAST(len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), ${lst(
+          TextOps.enStop
+        )})) AS DOUBLE) AS stop
+         |  FROM canon
+         |), g AS (
+         |  SELECT doc_id, lang, text,
+         |         least(n_toks / 20.0, 1.0) AS len_score,
+         |         1.0 - least((punct / greatest(n_chars, 1.0)) * 3.0, 1.0) AS punct_score,
+         |         1.0 - least((digits / greatest(n_chars, 1.0)) * 3.0, 1.0) AS digit_score,
+         |         least((stop / greatest(n_toks, 1.0)) * 4.0, 1.0) AS stop_score
+         |  FROM f
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+         |FROM g
+         |WHERE CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + stop_score * 0.2) * 1000000.0 + 0.5) AS BIGINT) >= 820000
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
