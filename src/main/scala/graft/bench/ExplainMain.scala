@@ -88,6 +88,32 @@ object ExplainMain {
       .queries("q_knn_cosine")(spark, "/root/testdata/sf0.001")
       .explain("formatted")
 
+    // the IVF 100 TB path: the inverted-list assignment persisted as a
+    // partition column — a probe of 2 of 4 lists must show PartitionFilters
+    // on list_id (whole partitions skipped, scan cost = nprobe/nlist)
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-explain-ivf")
+        .toString
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = graft.ops.SimilarityOps
+        .ivfTrainCentroids(base, nlist = 4, iters = 2, sampleSize = 64)
+      base
+        .withColumn("list_id", graft.ops.SimilarityOps.ivfListId(col("vec"), cents))
+        .write
+        .mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(root)
+      println("=== IVF probe over a list_id-partitioned base " +
+        "(expect PartitionFilters: list_id IN (0,1)) ===")
+      spark.read
+        .parquet(root)
+        .filter(col("list_id").isin(0, 1))
+        .explain("formatted")
+    }
+
     spark.stop()
   }
 }
