@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.applyops.{ApplyPlanner, TableSpec}
 import graft.dedup.LastWriterWins
 import graft.functions.GraftFunctions
-import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — one query per implemented operator family (SURVEY.md
   * §2), each SQL-expressible one paired with equivalent DuckDB oracle SQL
@@ -321,6 +321,21 @@ object SparkEntry {
           floor(col("jaccard") * 1000 + 0.5).cast(LongType).as("jacc_milli")
         )
         .sortSmall("id_a", "id_b")
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // reproducible corpus mixing: per-language Bernoulli-by-md5-hash
+      // sampling — a pure filter (no shuffle, no RNG state), bit-identical
+      // across re-runs, cluster sizes, and engines (DuckDB recomputes the
+      // exact member set from the same md5 arithmetic)
+      SampleOps
+        .stratifiedHashSample(
+          pq(s, dir, "documents"),
+          idCol = "doc_id",
+          strataCol = "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1)
+        )
+        .select(col("doc_id"), col("lang"))
+        .sortSmall("doc_id")
     }),
     "q_corpus_curate" -> ((s, dir) => {
       // the full corpus-curation pipeline COMPOSED end-to-end, one oracled
@@ -720,6 +735,11 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT) / 4294967296.0 <
+        |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_curate" -> {
       def lst(words: Seq[String]): String =
         words.map(w => s"'$w'").mkString("[", ",", "]")

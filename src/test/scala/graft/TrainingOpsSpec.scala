@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, SimHash64, Winnow}
-import graft.ops.{DedupOps, MultiModalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
 
 class TrainingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -318,6 +318,32 @@ class TrainingOpsSpec extends SparkSpec {
       .toSet
     // clusters {1,2,3} -> keep 1, {7,9} -> keep 7; all singletons kept
     assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L))
+  }
+
+  test("hash sampling: deterministic, fraction-accurate, nested across fractions, salt-independent") {
+    val ids = (0L until 20000L).toDF("id").withColumn("lang", lit("en"))
+    val s30 = SampleOps.hashSample(ids, "id", 0.30).select("id").as[Long].collect().toSet
+    val s30b = SampleOps.hashSample(ids, "id", 0.30).select("id").as[Long].collect().toSet
+    assert(s30 == s30b, "same (fraction, salt) must give the identical sample")
+    assert(math.abs(s30.size / 20000.0 - 0.30) < 0.02, s"fraction off: ${s30.size}")
+    // growing the fraction keeps the smaller sample as a subset (split safety)
+    val s50 = SampleOps.hashSample(ids, "id", 0.50).select("id").as[Long].collect().toSet
+    assert(s30.subsetOf(s50))
+    // different salts draw near-independent samples
+    val other = SampleOps.hashSample(ids, "id", 0.30, salt = "eval").select("id").as[Long].collect().toSet
+    val overlap = (s30 & other).size / 20000.0
+    assert(math.abs(overlap - 0.09) < 0.02, s"salted overlap $overlap should be ~0.3*0.3")
+    // stratified: unlisted strata drop, listed strata honor their fraction
+    val mixed = (0L until 10000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val strat = SampleOps
+      .stratifiedHashSample(mixed, "id", "lang", Map("en" -> 0.4))
+      .select("id", "lang")
+      .as[(Long, String)]
+      .collect()
+    assert(strat.forall(_._2 == "en"))
+    assert(math.abs(strat.length / 5000.0 - 0.4) < 0.03)
   }
 
   test("embedding cosine near-dup pairs finds planted duplicates") {
