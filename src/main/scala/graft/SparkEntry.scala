@@ -322,6 +322,21 @@ object SparkEntry {
         )
         .sortSmall("id_a", "id_b")
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // train/eval contamination check: training docs sharing any 13-gram
+      // with the (stand-in) eval slice. Eval shingles broadcast; the train
+      // side is a map-side semi-probe — no shuffle of the big table.
+      val d = pq(s, dir, "documents")
+      DedupOps
+        .contaminatedIds(
+          train = d.filter(col("doc_id") % 97 =!= 0),
+          eval_ = d.filter(col("doc_id") % 97 === 0),
+          textCol = "text",
+          idCol = "doc_id",
+          k = 13
+        )
+        .sortSmall("doc_id")
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       // reproducible corpus mixing: per-language Bernoulli-by-md5-hash
       // sampling — a pure filter (no shuffle, no RNG state), bit-identical
@@ -735,6 +750,17 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) < 13 THEN [text]
+        |              ELSE list_distinct(list_transform(range(1, len(text)-13+2), i -> text[i:i+12]))
+        |         END AS s
+        |  FROM documents
+        |),
+        |ev AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT DISTINCT doc_id FROM tr JOIN ev USING (g) ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT) / 4294967296.0 <

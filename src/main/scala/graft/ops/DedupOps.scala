@@ -294,6 +294,38 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------ decontamination
+
+  /** Eval-set decontamination: ids of training docs sharing at least one
+    * character k-gram with the eval corpus (the standard train/test
+    * contamination check — long-k n-gram collision against held-out
+    * benchmarks). Shingles travel as xxhash64 longs (see [[jaccardVerify]]
+    * for the collision argument).
+    *
+    * Scale shape: benchmark corpora are MBs while the train side is the
+    * 100 TB one, so the eval shingle set is BROADCAST and the train side
+    * is a map-side semi-probe — the big table never shuffles.
+    */
+  def contaminatedIds(
+      train: DataFrame,
+      eval_ : DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 13
+  ): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(
+        (cols :+ explode(
+          array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        ).as("g")): _*
+      )
+    val evalGrams = grams(eval_).distinct()
+    grams(train, col(idCol))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
   // ------------------------------------------------- duplicate clustering
 
   /** Connected components over an undirected pair table — the clustering

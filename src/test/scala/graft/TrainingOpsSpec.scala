@@ -320,6 +320,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L))
   }
 
+  test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "totally unrelated material with no overlap at all 12345"),
+      (2L, "he said the quick brown fox appeared"), // shares >=13 chars
+      (3L, "quick brown"), // shares only sub-13-gram runs
+      (4L, "xx the lazy dog barked xx") // shares ' the lazy dog' (13 chars)
+    ).toDF("doc_id", "text")
+    val flagged = DedupOps
+      .contaminatedIds(train, evalDocs, "text", "doc_id", k = 13)
+      .as[Long]
+      .collect()
+      .toSet
+    assert(flagged == Set(2L, 4L), s"got $flagged")
+  }
+
   test("hash sampling: deterministic, fraction-accurate, nested across fractions, salt-independent") {
     val ids = (0L until 20000L).toDF("id").withColumn("lang", lit("en"))
     val s30 = SampleOps.hashSample(ids, "id", 0.30).select("id").as[Long].collect().toSet
