@@ -322,6 +322,28 @@ object SparkEntry {
         )
         .sortSmall("id_a", "id_b")
     }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub proven end-to-end: plant deterministic contact details
+      // on a slice of real docs, then verify every span is redacted and
+      // counted (md5 of the redacted text pins the exact output)
+      val d = pq(s, dir, "documents")
+      val t2 = when(
+        col("doc_id") % 3 === 0,
+        concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id").cast(StringType),
+          lit("@example.com or +1-555-"),
+          (col("doc_id") + 1000000).cast(StringType)
+        )
+      ).otherwise(col("text"))
+      d.select(
+        col("doc_id"),
+        TextOps.piiCount(t2).as("n_pii"),
+        md5(TextOps.redactPii(t2)).as("redacted_md5"),
+        length(TextOps.redactPii(t2)).cast(LongType).as("redacted_len")
+      ).sortSmall("doc_id")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // train/eval contamination check: training docs sharing any 13-gram
       // with the (stand-in) eval slice. Eval shingles broadcast; the train
@@ -750,6 +772,24 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || CAST(doc_id + 1000000 AS VARCHAR)
+        |           ELSE text END AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS red,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS noemail
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(noemail, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS BIGINT) AS n_pii,
+        |       md5(red) AS redacted_md5,
+        |       CAST(length(red) AS BIGINT) AS redacted_len
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

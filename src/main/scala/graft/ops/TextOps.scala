@@ -127,4 +127,37 @@ object TextOps {
     */
   def normalizedHash(text: Column): Column =
     sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Alternation-free patterns on purpose: Spark's Java regex is
+    * leftmost-FIRST (backtracking NFA) while most SQL engines (RE2) are
+    * leftmost-LONGEST — character-class + greedy-quantifier patterns are
+    * the shape on which both semantics provably agree, which keeps the
+    * scrub reproducible by the auditing engine.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+  /** Redact emails and international-format phone numbers from a text
+    * column (training corpora must not memorize contact details). Pure
+    * `regexp_replace` — codegen'd, no UDF, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern,
+      "<PHONE>"
+    )
+
+  /** Count of PII spans a redaction of `text` would remove (phones are
+    * counted on the email-redacted text, matching [[redactPii]]'s order so
+    * a phone-shaped run inside an email is not double-counted).
+    */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailPattern)) +
+      regexp_count(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        lit(phonePattern)
+      )).cast("long")
 }

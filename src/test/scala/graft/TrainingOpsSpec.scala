@@ -320,6 +320,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L))
   }
 
+  test("PII redaction scrubs emails and phones, counts spans, leaves clean text intact") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+test@sub.example.org thanks"),
+      (2L, "call +44-555-1234567 or +1-555-0100 now"),
+      (3L, "email a@b.io and phone +1-555-9999 both"),
+      (4L, "nothing sensitive here, just code: x = a @ b"),
+      (5L, "almost: user@localhost and +1-55-0100 are NOT matches")
+    ).toDF("id", "text")
+    val out = rows
+      .select(
+        $"id",
+        TextOps.redactPii($"text").as("red"),
+        TextOps.piiCount($"text").as("n")
+      )
+      .as[(Long, String, Long)]
+      .collect()
+      .map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(out(1L) == (("reach me at <EMAIL> thanks", 1L)))
+    assert(out(2L) == (("call <PHONE> or <PHONE> now", 2L)))
+    assert(out(3L) == (("email <EMAIL> and phone <PHONE> both", 2L)))
+    assert(out(4L) == (("nothing sensitive here, just code: x = a @ b", 0L)))
+    // user@localhost has no dotted TLD; +1-55-0100 has a 2-digit middle group
+    assert(out(5L) == (("almost: user@localhost and +1-55-0100 are NOT matches", 0L)))
+  }
+
   test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
     val evalDocs = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")
