@@ -35,6 +35,35 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(c1, cs: _*)
   }
 
+  /** DuckDB list literal of words (for stopword sets in oracle SQL). */
+  private def lstSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The quality-feature + score CTEs shared by every oracle that gates on
+    * [[graft.ops.TextOps.qualityScoreMicros]] — ONE copy of the formula so
+    * the standalone and composed queries cannot drift. Emits CTEs
+    * `qf`/`qg`; `qg` has (doc_id[, carryCols], quality_micro).
+    */
+  private def qualitySqlCtes(fromSrc: String, carryCols: String): String =
+    s"""qf AS (
+       |  SELECT doc_id$carryCols,
+       |         CAST(length(text) AS DOUBLE) AS n_chars,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+       |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
+       |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
+       |         CAST(len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), ${lstSql(
+        graft.ops.TextOps.enStop
+      )})) AS DOUBLE) AS stop
+       |  FROM $fromSrc
+       |), qg AS (
+       |  SELECT doc_id$carryCols,
+       |         CAST(FLOOR((least(n_toks / 20.0, 1.0) * 0.3
+       |                   + (1.0 - least((punct / greatest(n_chars, 1.0)) * 3.0, 1.0)) * 0.3
+       |                   + (1.0 - least((digits / greatest(n_chars, 1.0)) * 3.0, 1.0)) * 0.2
+       |                   + least((stop / greatest(n_toks, 1.0)) * 4.0, 1.0) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+       |  FROM qf
+       |)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
@@ -390,9 +419,7 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(size(filter(split(col("text"), " "), t => length(t) > 0)))
-            .cast(LongType)
-            .as("n_tokens")
+          sum(TextOps.tokenCount(col("text"))).cast(LongType).as("n_tokens")
         )
         .sortSmall("lang")
     }),
@@ -806,9 +833,7 @@ object SparkEntry {
         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT) / 4294967296.0 <
         |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,
-    "q_corpus_curate" -> {
-      def lst(words: Seq[String]): String =
-        words.map(w => s"'$w'").mkString("[", ",", "]")
+    "q_corpus_curate" ->
       s"""WITH RECURSIVE exactk AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
          |),
@@ -836,30 +861,12 @@ object SparkEntry {
          |  WHERE id <> component
          |),
          |canon AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT id FROM dropids)),
-         |f AS (
-         |  SELECT doc_id, lang, text,
-         |         CAST(length(text) AS DOUBLE) AS n_chars,
-         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_toks,
-         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
-         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
-         |         CAST(len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), ${lst(
-          TextOps.enStop
-        )})) AS DOUBLE) AS stop
-         |  FROM canon
-         |), g AS (
-         |  SELECT doc_id, lang, text,
-         |         least(n_toks / 20.0, 1.0) AS len_score,
-         |         1.0 - least((punct / greatest(n_chars, 1.0)) * 3.0, 1.0) AS punct_score,
-         |         1.0 - least((digits / greatest(n_chars, 1.0)) * 3.0, 1.0) AS digit_score,
-         |         least((stop / greatest(n_toks, 1.0)) * 4.0, 1.0) AS stop_score
-         |  FROM f
-         |)
+         |${qualitySqlCtes("canon", ", lang, text")}
          |SELECT lang, COUNT(*) AS n_docs,
-         |       CAST(SUM(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens
-         |FROM g
-         |WHERE CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + stop_score * 0.2) * 1000000.0 + 0.5) AS BIGINT) >= 820000
-         |GROUP BY lang ORDER BY lang""".stripMargin
-    },
+         |       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+         |FROM qg
+         |WHERE quality_micro >= 820000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -894,8 +901,7 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_langid_pred" -> {
-      def lst(words: Seq[String]): String =
-        words.map(w => s"'$w'").mkString("[", ",", "]")
+      def lst(words: Seq[String]): String = lstSql(words)
       s"""WITH sc AS (
          |  SELECT doc_id, lang,
          |         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS toks,
@@ -916,33 +922,11 @@ object SparkEntry {
          |  FROM sc
          |) ORDER BY doc_id""".stripMargin
     },
-    "q_quality_score" -> {
-      def lst(words: Seq[String]): String =
-        words.map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |         CAST(length(text) AS DOUBLE) AS n_chars,
-         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS n_toks,
-         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS punct,
-         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
-         |         CAST(len(list_intersect(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0), ${lst(
-          TextOps.enStop
-        )})) AS DOUBLE) AS stop,
-         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id, n_bpeish,
-         |         least(n_toks / 20.0, 1.0) AS len_score,
-         |         1.0 - least((punct / greatest(n_chars, 1.0)) * 3.0, 1.0) AS punct_score,
-         |         1.0 - least((digits / greatest(n_chars, 1.0)) * 3.0, 1.0) AS digit_score,
-         |         least((stop / greatest(n_toks, 1.0)) * 4.0, 1.0) AS stop_score
-         |  FROM f
-         |)
-         |SELECT doc_id,
-         |       CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + digit_score * 0.2 + stop_score * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
-         |       n_bpeish
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
+    "q_quality_score" ->
+      s"""WITH ${qualitySqlCtes("documents", ", text")}
+         |SELECT doc_id, quality_micro,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish
+         |FROM qg ORDER BY doc_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)

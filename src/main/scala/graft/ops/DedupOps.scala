@@ -415,6 +415,11 @@ object DedupOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // reassigning `edges` drops the only reference to the previous
+      // round's localCheckpoint; its blocks are reclaimed asynchronously by
+      // the ContextCleaner once the RDD is GC'd (Spark exposes no public
+      // handle to free a local checkpoint eagerly), so peak storage is a
+      // couple of edge-set copies, not all O(log n) rounds
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -442,10 +447,12 @@ object DedupOps {
       df: DataFrame,
       components: DataFrame, // (id, component)
       idCol: String
-  ): DataFrame =
-    df.join(
-      components.filter(col("id") =!= col("component")).select(col("id")),
-      df(idCol) === col("id"),
-      "left_anti"
-    )
+  ): DataFrame = {
+    // renamed drop-list column: joining on a bare col("id") is ambiguous
+    // whenever df itself has an "id" column (the common convention)
+    val drop = components
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup_id"))
+    df.join(drop, df(idCol) === col("__dup_id"), "left_anti")
+  }
 }

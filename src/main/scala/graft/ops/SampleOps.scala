@@ -47,6 +47,10 @@ object SampleOps {
       fractions: Map[String, Double],
       salt: String = "graft"
   ): DataFrame = {
+    // a zero-arg map() literal is map<void,void> and fails analysis under
+    // try_element_at; the documented "unlisted strata drop" semantics make
+    // the empty-weights result the empty frame
+    if (fractions.isEmpty) return df.filter(lit(false))
     val fmap = map(
       fractions.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*
     )

@@ -318,6 +318,16 @@ class TrainingOpsSpec extends SparkSpec {
       .toSet
     // clusters {1,2,3} -> keep 1, {7,9} -> keep 7; all singletons kept
     assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L))
+    // the id-column convention used elsewhere ("id") must not be ambiguous
+    // against the components frame's own "id" column
+    val docsId = docs.withColumnRenamed("doc_id", "id")
+    val keptId = DedupOps
+      .dedupByComponents(docsId, comps, "id")
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(keptId == kept)
   }
 
   test("PII redaction scrubs emails and phones, counts spans, leaves clean text intact") {
@@ -388,6 +398,10 @@ class TrainingOpsSpec extends SparkSpec {
       .collect()
     assert(strat.forall(_._2 == "en"))
     assert(math.abs(strat.length / 5000.0 - 0.4) < 0.03)
+    // empty weights = everything dropped (not an analysis error)
+    assert(
+      SampleOps.stratifiedHashSample(mixed, "id", "lang", Map.empty).count() == 0
+    )
   }
 
   test("embedding cosine near-dup pairs finds planted duplicates") {
