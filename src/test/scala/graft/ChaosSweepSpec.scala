@@ -93,7 +93,7 @@ class ChaosSweepSpec extends SparkSpec {
     val want = state(cleanTable)
     assert(want.nonEmpty)
 
-    Seq(1L, 7L, 23L).foreach { seed =>
+    Seq(1L, 7L, 23L, 57L, 91L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val base = tmpDir(s"chaos-$seed")
       val feedDir = s"$base/feed"
