@@ -467,7 +467,12 @@ final class SnapshotTable(
       // write fan-out — a bucket's rewrite spreads over up to
       // `writersPerBucket` tasks/files (one hot bucket never serializes
       // the COW write), and directory (`partitionBy`) writes tolerate
-      // many tasks per partition value
+      // many tasks per partition value.
+      // The map-side PK sort (no shuffle — SortExec inside the existing
+      // partitioning) writes each file in key order: parquet row-group
+      // min/max stats then skip groups on pk point reads, and adjacent
+      // similar keys compress better — both free at write time.
+      .sortWithinPartitions((Seq(BUCKET) ++ pkCols).distinct.map(col): _*)
       .write
       .mode("overwrite")
       .partitionBy("__bp")
