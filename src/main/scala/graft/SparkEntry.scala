@@ -465,6 +465,16 @@ object SparkEntry {
         .simhashPairs(d, "text", "doc_id", maxHamming = 3)
         .sortSmall("id_a", "id_b")
     }),
+    "q_winnow_pairs" -> ((s, dir) => {
+      // the fingerprint FAMILY as a detector: doc pairs sharing >= 20
+      // winnow prints — on this corpus template boilerplate tops out near
+      // 20 shared prints while true near-dups sit at 40+, so the threshold
+      // separates signal from noise (no DuckDB oracle — custom
+      // rolling-hash family; guarantee + pair semantics golden-tested)
+      DedupOps
+        .winnowPairs(pq(s, dir, "documents"), "text", "doc_id", minShared = 20)
+        .sortSmall("id_a", "id_b")
+    }),
     "q_winnow_fp" -> ((s, dir) => {
       GraftFunctions.register(s)
       pq(s, dir, "documents")

@@ -294,6 +294,40 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** MOSS-style near-dup pairs from winnowing fingerprints: doc pairs
+    * sharing at least `minShared` fingerprints (Schleimer/Wilkerson/Aiken
+    * SIGMOD'03 — the winnowing guarantee makes any shared run of
+    * `w + k - 1` chars contribute a shared print, so real overlapping
+    * passages always collide). Same bucket-join shape as the other LSH
+    * ops: shuffle keyed on the fingerprint, crowded prints (boilerplate)
+    * capped, never an all-pairs stage.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 7,
+      k: Int = 8,
+      minShared: Int = 2,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fps = df.select(
+      col(idCol).as("id"),
+      explode(
+        array_distinct(graft.functions.GraftFunctions.winnow(col(textCol), w, k))
+      ).as("fp")
+    )
+    val capped = SimilarityOps.capBuckets(fps, Seq("fp"), maxBucketSize)
+    val l = capped.select(col("fp"), col("id").as("id_a"))
+    val r = capped.select(col("fp"), col("id").as("id_b"))
+    l.join(r, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Eval-set decontamination: ids of training docs sharing at least one

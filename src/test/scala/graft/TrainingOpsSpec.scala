@@ -330,6 +330,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(keptId == kept)
   }
 
+  test("winnow pairs: shared passages collide, unrelated docs don't") {
+    val passage = "the winnowing algorithm guarantees detection of shared runs"
+    val docs = Seq(
+      (1L, s"intro text then $passage and a closing remark"),
+      (2L, s"different framing; $passage; unrelated tail 987"),
+      (3L, "completely different material with no common passage at all")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps
+      .winnowPairs(docs, "text", "doc_id", minShared = 2)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("PII redaction scrubs emails and phones, counts spans, leaves clean text intact") {
     val rows = Seq(
       (1L, "reach me at jane.doe+test@sub.example.org thanks"),
