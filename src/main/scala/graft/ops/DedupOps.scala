@@ -306,8 +306,8 @@ object DedupOps {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      w: Int = 7,
-      k: Int = 8,
+      k: Int = 7, // gram size — same (k, w) order and defaults as Winnow
+      w: Int = 8, // window size
       minShared: Int = 2,
       maxBucketSize: Int = 2000
   ): DataFrame = {
@@ -315,7 +315,7 @@ object DedupOps {
     val fps = df.select(
       col(idCol).as("id"),
       explode(
-        array_distinct(graft.functions.GraftFunctions.winnow(col(textCol), w, k))
+        array_distinct(graft.functions.GraftFunctions.winnow(col(textCol), k, w))
       ).as("fp")
     )
     val capped = SimilarityOps.capBuckets(fps, Seq("fp"), maxBucketSize)

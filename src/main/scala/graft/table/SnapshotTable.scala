@@ -472,7 +472,11 @@ final class SnapshotTable(
       // partitioning) writes each file in key order: parquet row-group
       // min/max stats then skip groups on pk point reads, and adjacent
       // similar keys compress better — both free at write time.
-      .sortWithinPartitions((Seq(BUCKET) ++ pkCols).distinct.map(col): _*)
+      // MUST lead with the PARTITION column `__bp`, not BUCKET: V1Writes
+      // requires a sort by the partition columns and REPLACES a user sort
+      // whose prefix is a different attribute — sorting on BUCKET here
+      // silently produced unsorted files (verified file-by-file).
+      .sortWithinPartitions((Seq("__bp") ++ pkCols).distinct.map(col): _*)
       .write
       .mode("overwrite")
       .partitionBy("__bp")

@@ -336,4 +336,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(meta.lineage == Seq("file-1.ndjson"))
     assert(meta.metrics("rows_written") == 100L)
   }
+
+  test("snapshot files are written in PK order (row-group stats usable for point reads)") {
+    // the state fingerprint is order-independent, so only a file-level
+    // check catches a planner change (e.g. V1Writes replacing the user
+    // sort) that silently un-sorts the files
+    val root = tmpDir("snapsorted")
+    val t = new SnapshotTable(spark, root, numBuckets = 4)
+    // (i * 37) % 97 scrambles the input order so sorted output files can't
+    // happen by accident
+    val b = batch(
+      (0 until 400).map { i =>
+        val j = (i * 37) % 97
+        (f"r$j%03d", f"p$i%04d", "v", 10L, 0, false)
+      }
+    )
+    assert(t.merge(b, pk, "k1", Hlc(10, 0)).isDefined)
+    import scala.jdk.CollectionConverters._
+    val files = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+    )(_.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList)
+    assert(files.nonEmpty)
+    var checked = 0
+    files.foreach { f =>
+      val keys = spark.read
+        .parquet(f.toString)
+        .select("repo", "path")
+        .as[(String, String)]
+        .collect()
+      if (keys.length > 1) {
+        checked += 1
+        assert(
+          keys.sameElements(keys.sortBy(identity)),
+          s"$f is not in PK order"
+        )
+      }
+    }
+    assert(checked > 0, "no multi-row file was checked")
+  }
 }
