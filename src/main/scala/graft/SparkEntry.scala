@@ -469,8 +469,8 @@ object SparkEntry {
       // the fingerprint FAMILY as a detector: doc pairs sharing >= 20
       // winnow prints — on this corpus template boilerplate tops out near
       // 20 shared prints while true near-dups sit at 40+, so the threshold
-      // separates signal from noise (no DuckDB oracle — custom
-      // rolling-hash family; guarantee + pair semantics golden-tested)
+      // separates signal from noise (oracle: pinned output, PinnedOracles;
+      // guarantee + pair semantics golden-tested)
       DedupOps
         .winnowPairs(pq(s, dir, "documents"), "text", "doc_id", minShared = 20)
         .sortSmall("id_a", "id_b")
@@ -992,6 +992,15 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // custom-hash-family queries (simhash / winnowing / hyperplane LSH):
+    // DuckDB cannot recompute the hashes, but the corpus is deterministic at
+    // the verification scale, so the outputs are constants — pinned exactly
+    // (see PinnedOracles). Semantic goldens for the same operators live in
+    // TrainingOpsSpec (recall/pigeonhole/brute-force-equivalence).
+    "q_knn_lsh" -> PinnedOracles.knn_lsh,
+    "q_simhash_pairs" -> PinnedOracles.simhash_pairs,
+    "q_winnow_pairs" -> PinnedOracles.winnow_pairs,
+    "q_winnow_fp" -> PinnedOracles.winnow_fp
   )
 }
