@@ -39,7 +39,28 @@ final class MultiTableLoop(
     val dependsOn: Map[String, Set[String]],
     val checkpointDir: String,
     val saltBuckets: Int = 32,
-    val maxFilesPerTrigger: Int = 8
+    val maxFilesPerTrigger: Int = 8,
+    /** Immediate (fan) mode: apply every micro-batch directly, per topic in
+      * FK order, without staging or fence gating — the reference's fan path
+      * (internal/source/logical/loop.go:452-486, fan_events.go:28-124).
+      * Resolved markers are still RECORDED on the commits they ride with,
+      * so the ledger shows source progress (resolver.go:291-309). Without
+      * this flag, a feed that never emits resolved markers accumulates in
+      * staging forever — immediate mode is the right setting for feeds
+      * without transaction boundaries.
+      */
+    val immediate: Boolean = false,
+    /** expire snapshot versions older than this many after each per-table
+      * merge (None = never) — same storage bound as ReplayLoop: every fence
+      * commits a new version per table (untouched tables get metadata-only
+      * commits), so an unvacuumed fan loop grows data-version directories
+      * and commit files without bound at streaming cadence
+      */
+    val vacuumKeepVersions: Option[Int] = Some(4),
+    /** byte budget per micro-batch, converted to a file cap against the
+      * observed mean feed-file size (see ReplayLoop.effectiveMaxFiles)
+      */
+    val maxBytesPerTrigger: Option[Long] = None
 ) {
   private val levelOrder: Seq[Seq[String]] =
     FkLevels.levels(targets.keys.toSeq.sorted, dependsOn)
@@ -95,6 +116,23 @@ final class MultiTableLoop(
     val stageKey =
       if (files.isEmpty) batchId else ReplayLoop.batchKeyOf(files)
 
+    val resolvedRows = Envelopes
+      .parseWebhookLines(lines.filter(col("value").contains("\"resolved\"")))
+      .filter(col(Changefeed.RESOLVED))
+      .agg(max(struct(col("nanos"), col("logical"))).as("m"))
+      .collect()
+    val newResolved: Option[Hlc] =
+      if (resolvedRows.isEmpty || resolvedRows(0).isNullAt(0)) None
+      else {
+        val r = resolvedRows(0).getStruct(0)
+        Some(Hlc(r.getLong(0), r.getInt(1)))
+      }
+
+    if (immediate) {
+      applyImmediate(muts, stageKey, batchId, newResolved)
+      return
+    }
+
     // stage EVERY table's slice in one Spark job (idempotent per batch):
     // partitionBy(topic, ts_bucket) + a single per-topic drift aggregation
     // replaces the T-pass per-topic append loop
@@ -110,18 +148,6 @@ final class MultiTableLoop(
             t.spec.pkCols.map(c => t.spec.config.sourceNames.getOrElse(c, c))))
       }
     )
-
-    val resolvedRows = Envelopes
-      .parseWebhookLines(lines.filter(col("value").contains("\"resolved\"")))
-      .filter(col(Changefeed.RESOLVED))
-      .agg(max(struct(col("nanos"), col("logical"))).as("m"))
-      .collect()
-    val newResolved: Option[Hlc] =
-      if (resolvedRows.isEmpty || resolvedRows(0).isNullAt(0)) None
-      else {
-        val r = resolvedRows(0).getStruct(0)
-        Some(Hlc(r.getLong(0), r.getInt(1)))
-      }
 
     newResolved.foreach { target =>
       // FK order: parents before children, level by level; tables WITHIN a
@@ -170,6 +196,11 @@ final class MultiTableLoop(
               )
               casCleanup()
               t.stage.retire(target)
+              // bound version growth exactly as ReplayLoop does: at
+              // streaming cadence every fence commits a new version per
+              // table, so the fan path needs the same vacuum or storage
+              // (and the gcHorizon back-walk) grows without bound
+              vacuumKeepVersions.foreach(t.table.vacuum(_))
             }
           }
         }
@@ -179,9 +210,58 @@ final class MultiTableLoop(
     }
   }
 
+  /** Immediate (fan) application of one micro-batch: per-topic slices are
+    * planned and merged directly, parents-before-children, with NO staging
+    * and NO fence gate. Idempotence key = the file-set key (scoped per
+    * table by its own commit log), so a redelivered batch no-ops per table
+    * exactly as in ReplayLoop's immediate mode. The T per-topic filters re-scan the batch's raw text —
+    * measured cheaper than building a columnar cache (see
+    * ReplayLoop.processBatch); topics within a level merge concurrently.
+    */
+  private def applyImmediate(
+      muts: DataFrame,
+      stageKey: Long,
+      batchId: Long,
+      newResolved: Option[Hlc]
+  ): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    levelOrder.foreach { level =>
+      val merges = level.map { topic =>
+        Future {
+          val t = targets(topic)
+          val slice = muts
+            .filter(col("topic") === topic)
+            .select("key", "data", "nanos", "logical", "src_file")
+          val planned = ApplyPlanner.plan(
+            spark, t.spec, slice, saltBuckets,
+            dedup = t.spec.config.casColumns.nonEmpty)
+          val (gated, casCleanup) = ApplyPlanner.casGate(
+            t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
+          t.table.merge(
+            gated,
+            planned.pkCols,
+            idempotenceKey = s"batch-$stageKey",
+            // no fence gating, but resolved markers are still RECORDED on
+            // the commits they ride with (resolver.go:291-309)
+            resolved = newResolved.getOrElse(Hlc.Zero),
+            lineage = Seq(s"batch=$batchId", s"topic=$topic", "mode=immediate")
+          )
+          casCleanup()
+          vacuumKeepVersions.foreach(t.table.vacuum(_))
+        }
+      }
+      // barrier between levels: children must see committed parents
+      merges.foreach(f => Await.result(f, Duration.Inf))
+    }
+  }
+
   def start(trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option(
+        "maxFilesPerTrigger",
+        ReplayLoop.effectiveMaxFiles(feedDir, maxFilesPerTrigger, maxBytesPerTrigger))
       .text(feedDir)
       .writeStream
       .trigger(trigger)

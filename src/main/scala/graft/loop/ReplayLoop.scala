@@ -74,8 +74,28 @@ final class ReplayLoop(
       * envelope-agnostic, mirroring the reference's per-URL handler
       * dispatch (internal/source/cdc/handler.go).
       */
-    val parse: DataFrame => DataFrame = Changefeed.parseLines(_)
+    val parse: DataFrame => DataFrame = Changefeed.parseLines(_),
+    /** Also derive resolved fences from `<33-digit>.RESOLVED` marker FILES
+      * in the feed directory — the changefeed cloud-storage layout, where
+      * the resolved signal is the file NAME, not a payload line (reference:
+      * internal/source/cdc/resolved.go:36-101). Markers are observed via a
+      * driver-side directory listing (metadata only), gated on delivery
+      * progress: a marker fences only once a feed file with mtime >= the
+      * marker's has been DELIVERED by the stream, so a multi-batch catch-up
+      * cannot fence past data the source has listed but not yet delivered
+      * (delivery is oldest-mtime-first). After an AvailableNow pass the
+      * gate is provably open for everything — `runAvailableNow` drains the
+      * remaining markers unconditionally.
+      */
+    val resolvedFromFilenames: Boolean = false
 ) {
+
+  /** High-water mtime (millis) over all feed files delivered so far — the
+    * filename-marker gate. Persisted as a commit metric so a restarted loop
+    * resumes the gate instead of re-fencing blind.
+    */
+  private var deliveredMtimeHw: Long =
+    table.log.latest().flatMap(_.metric("delivered_mtime_hw")).getOrElse(0L)
 
   /** current spec: schema follows the table's committed schema */
   private def currentSpec: TableSpec = {
@@ -196,55 +216,114 @@ final class ReplayLoop(
       )
     }
 
+    // advance the filename-marker gate: everything in this batch was
+    // delivered, so any marker at or below the newest delivered mtime has
+    // provably been passed by the (oldest-first) file source
+    if (resolvedFromFilenames && files.nonEmpty) {
+      val mtimes = files.flatMap(ReplayLoop.fileMtimeMillis)
+      if (mtimes.nonEmpty) deliveredMtimeHw = math.max(deliveredMtimeHw, mtimes.max)
+    }
+    val markerFence: Option[Hlc] =
+      if (!resolvedFromFilenames) None
+      else
+        listResolvedMarkers()
+          .filter { case (_, mtime) => mtime <= deliveredMtimeHw }
+          .map(_._1)
+          .maxOption
+
     val fence = committedFence
-    newResolved.filter(_ > fence).foreach { target =>
-      // window = (prevFence, target] PLUS anything staged since the last
-      // merge regardless of ts: a mutation below an already-committed fence
-      // can still arrive late when the transport reorders deliveries (e.g.
-      // the file source orders by mtime) — it was staged AFTER the last
-      // merge, so the stage_seq branch picks it up exactly once. Rows
-      // already merged by earlier fences (ts <= fence, staged before the
-      // recorded seq) are no longer re-read and re-written every fence.
-      //
-      // raw (non-deduplicated) read: exact duplicates collapse in the
-      // merge's per-key max_by anyway, saving a shuffle. Not cached: with
-      // the staging-time summary, the window feeds exactly one consumer
-      // (the merge, which caches its own transformed batch).
-      val mergedThroughSeq: Long = table.log
-        .latest()
-        .flatMap(_.metric("merged_through_seq"))
-        .getOrElse(0L)
-      val seqNow = stage.currentSeq() // this batch's append already happened
-      val window =
-        stage.selectWindowRaw(fence, target, stagedAfterSeq = Some(mergedThroughSeq))
-      locally {
-        val spec = currentSpec
-        // pre-dedup only when a CAS gate needs one candidate per key; the
-        // merge's per-key max_by reduction is the LWW otherwise (saves two
-        // shuffles of the window)
-        val planned = timed("plan", batchId) {
-          ApplyPlanner.plan(
-            spark, spec, window, saltBuckets,
-            dedup = spec.config.casColumns.nonEmpty,
-            // field set was collected while staging: no summary scan here
-            observedFields = Some(stage.observedFields().toSeq))
-        }
-        val (gated, casCleanup) =
-          ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
-        timed(s"merge fence=${target.format}", batchId) {
-          table.merge(
-            batch = gated,
-            pkCols = planned.pkCols,
-            idempotenceKey = s"fence-${target.format}",
-            resolved = target,
-            lineage = lineage,
-            extraMetrics = Map("merged_through_seq" -> seqNow)
-          )
-        }
-        casCleanup()
-        stage.retire(target)
-        vacuumKeepVersions.foreach(table.vacuum(_))
+    (newResolved.toSeq ++ markerFence).maxOption.filter(_ > fence).foreach { target =>
+      mergeToFence(target, batchId, lineage)
+    }
+  }
+
+  /** Merge the staged window up to `target` and commit the fence — the
+    * shared tail of a resolved event, whether it arrived in-stream, as a
+    * `.RESOLVED` marker file, or from the post-catch-up drain.
+    */
+  private def mergeToFence(target: Hlc, batchId: Long, lineage: Seq[String]): Unit = {
+    val fence = committedFence
+    // window = (prevFence, target] PLUS anything staged since the last
+    // merge regardless of ts: a mutation below an already-committed fence
+    // can still arrive late when the transport reorders deliveries (e.g.
+    // the file source orders by mtime) — it was staged AFTER the last
+    // merge, so the stage_seq branch picks it up exactly once. Rows
+    // already merged by earlier fences (ts <= fence, staged before the
+    // recorded seq) are no longer re-read and re-written every fence.
+    //
+    // raw (non-deduplicated) read: exact duplicates collapse in the
+    // merge's per-key max_by anyway, saving a shuffle. Not cached: with
+    // the staging-time summary, the window feeds exactly one consumer
+    // (the merge, which caches its own transformed batch).
+    val mergedThroughSeq: Long = table.log
+      .latest()
+      .flatMap(_.metric("merged_through_seq"))
+      .getOrElse(0L)
+    val seqNow = stage.currentSeq() // this batch's append already happened
+    val window =
+      stage.selectWindowRaw(fence, target, stagedAfterSeq = Some(mergedThroughSeq))
+    val spec = currentSpec
+    // pre-dedup only when a CAS gate needs one candidate per key; the
+    // merge's per-key max_by reduction is the LWW otherwise (saves two
+    // shuffles of the window)
+    val planned = timed("plan", batchId) {
+      ApplyPlanner.plan(
+        spark, spec, window, saltBuckets,
+        dedup = spec.config.casColumns.nonEmpty,
+        // field set was collected while staging: no summary scan here
+        observedFields = Some(stage.observedFields().toSeq))
+    }
+    val (gated, casCleanup) =
+      ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
+    timed(s"merge fence=${target.format}", batchId) {
+      table.merge(
+        batch = gated,
+        pkCols = planned.pkCols,
+        idempotenceKey = s"fence-${target.format}",
+        resolved = target,
+        lineage = lineage,
+        extraMetrics =
+          Map("merged_through_seq" -> seqNow) ++
+            (if (resolvedFromFilenames) Map("delivered_mtime_hw" -> deliveredMtimeHw)
+             else Map.empty)
+      )
+    }
+    casCleanup()
+    stage.retire(target)
+    vacuumKeepVersions.foreach(table.vacuum(_))
+  }
+
+  /** `.RESOLVED` marker files currently in the feed directory:
+    * (parsed HLC, file mtime millis). Driver-side metadata listing only
+    * (depth 2 — top level plus chunk subdirectories).
+    */
+  private def listResolvedMarkers(): Seq[(Hlc, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.exists(dir)) Nil
+    else
+      scala.util.Using.resource(java.nio.file.Files.walk(dir, 2)) {
+        _.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".RESOLVED"))
+          .flatMap { p =>
+            graft.feed.Envelopes
+              .parseResolvedFilename(p.getFileName.toString)
+              .map(_ -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+          .toSeq
       }
+  }
+
+  /** Fence to the newest `.RESOLVED` marker unconditionally — correct only
+    * when every feed file has been delivered, i.e. after an AvailableNow
+    * pass has terminated (the drain step of [[runAvailableNow]]). A
+    * continuous query instead fences a marker one trigger later, when the
+    * next data file proves delivery passed it — watermark-style lag.
+    */
+  def drainResolvedFilenameMarkers(): Unit = if (resolvedFromFilenames) {
+    deliveredMtimeHw = math.max(deliveredMtimeHw, System.currentTimeMillis())
+    listResolvedMarkers().map(_._1).maxOption.filter(_ > committedFence).foreach {
+      target => mergeToFence(target, batchId = -1L, Seq("drain=resolved-markers"))
     }
   }
 
@@ -252,27 +331,8 @@ final class ReplayLoop(
     * budget divided by the observed mean feed-file size (sampled from the
     * directory listing — metadata only).
     */
-  private[graft] def effectiveMaxFiles: Int = maxBytesPerTrigger match {
-    case None => maxFilesPerTrigger
-    case Some(budget) =>
-      import scala.jdk.CollectionConverters._
-      val dir = java.nio.file.Paths.get(feedDir)
-      val sizes =
-        if (!java.nio.file.Files.exists(dir)) Nil
-        else
-          scala.util.Using.resource(java.nio.file.Files.walk(dir, 2)) {
-            _.iterator().asScala
-              .filter(p => java.nio.file.Files.isRegularFile(p))
-              .take(256)
-              .map(java.nio.file.Files.size)
-              .toSeq
-          }
-      if (sizes.isEmpty) maxFilesPerTrigger
-      else {
-        val mean = math.max(1L, sizes.sum / sizes.size)
-        math.max(1, math.min(maxFilesPerTrigger.toLong, budget / mean).toInt)
-      }
-  }
+  private[graft] def effectiveMaxFiles: Int =
+    ReplayLoop.effectiveMaxFiles(feedDir, maxFilesPerTrigger, maxBytesPerTrigger)
 
   /** Start the continuous streaming query. Backfill ordering: the file
     * source delivers oldest-first (modification time), which matches the
@@ -292,10 +352,14 @@ final class ReplayLoop(
 
   /** Catch-up run: process everything currently in the feed, then stop —
     * the reference's backfill mode (loop.go:394-441) as Trigger.AvailableNow.
+    * With filename markers enabled, trailing `.RESOLVED` files (markers
+    * newer than every data file) are drained after the pass: at that point
+    * everything listed was delivered, so the delivery gate is open.
     */
   def runAvailableNow(): Unit = {
     val q = start(Trigger.AvailableNow())
     q.awaitTermination()
+    drainResolvedFilenameMarkers()
   }
 
   /** Age-triggered backfill↔streaming switch, the reference's
@@ -343,5 +407,51 @@ object ReplayLoop {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val d = md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** mtime (millis) of a feed file as named by `input_file_name()` —
+    * tolerates the `file:`/`file://` scheme prefix; None if unreadable.
+    */
+  def fileMtimeMillis(name: String): Option[Long] = {
+    val path = name.stripPrefix("file://").stripPrefix("file:")
+    try Some(
+      java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(path))
+        .toMillis
+    )
+    catch { case _: Exception => None }
+  }
+
+  /** File cap for one trigger: `maxFilesPerTrigger`, tightened by the byte
+    * budget divided by the observed mean feed-file size (sampled from the
+    * directory listing — metadata only). Shared by the single- and
+    * multi-table loops — the reference's `bytesInFlight` backpressure knob
+    * (internal/source/logical/config.go:35) expressed against a file
+    * source that caps by COUNT.
+    */
+  def effectiveMaxFiles(
+      feedDir: String,
+      maxFilesPerTrigger: Int,
+      maxBytesPerTrigger: Option[Long]
+  ): Int = maxBytesPerTrigger match {
+    case None => maxFilesPerTrigger
+    case Some(budget) =>
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(feedDir)
+      val sizes =
+        if (!java.nio.file.Files.exists(dir)) Nil
+        else
+          scala.util.Using.resource(java.nio.file.Files.walk(dir, 2)) {
+            _.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p))
+              .take(256)
+              .map(java.nio.file.Files.size)
+              .toSeq
+          }
+      if (sizes.isEmpty) maxFilesPerTrigger
+      else {
+        val mean = math.max(1L, sizes.sum / sizes.size)
+        math.max(1, math.min(maxFilesPerTrigger.toLong, budget / mean).toInt)
+      }
   }
 }

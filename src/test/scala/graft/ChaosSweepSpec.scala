@@ -131,4 +131,116 @@ class ChaosSweepSpec extends SparkSpec {
       assert(finalLoop.committedFence == cleanLoop.committedFence)
     }
   }
+
+  // ---- fan-path chaos: a 3-level FK chain through MultiTableLoop ----
+
+  test("FK-chain chaos: restart/wipe/duplicate schedules converge on the multi-table fan path") {
+    import graft.loop.{MultiTableLoop, TableTarget}
+    import graft.applyops.TableSpec
+    import graft.stage.StagedStore
+
+    // deterministic 3-level webhook feed (grand -> parent -> child), the
+    // reference's flagship chaos shape (handler_test.go:403-540): 24 files,
+    // interleaved topics, updates and deletes, a resolved marker every 4th
+    // file and one final marker covering everything
+    def mut(topic: String, pk: Int, v: String, ts: Long): String =
+      s"""{"after":{"pk":$pk,"v":"$v"},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+    def del(topic: String, pk: Int, ts: Long): String =
+      s"""{"after":null,"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+
+    val gen = new scala.util.Random(42L)
+    val topics = Seq("grand", "parent", "child")
+    var ts = 100L
+    val files: Seq[(String, String)] = (1 to 24).map { i =>
+      val bodies = (0 until 1 + gen.nextInt(3)).map { _ =>
+        val muts = (0 until 1 + gen.nextInt(4)).map { _ =>
+          val topic = topics(gen.nextInt(3))
+          val pk = gen.nextInt(30)
+          ts += 1
+          if (gen.nextInt(10) == 0) del(topic, pk, ts)
+          else mut(topic, pk, s"v$ts", ts)
+        }
+        s"""{"payload":[${muts.mkString(",")}],"length":${muts.size}}"""
+      }
+      val marker =
+        if (i % 4 == 0 || i == 24) { ts += 1; Seq(s"""{"resolved":"$ts.0000000000"}""") }
+        else Nil
+      (f"$i%04d.json", (bodies ++ marker).mkString("\n"))
+    }
+
+    val schema = StructType(
+      Seq(StructField("pk", IntegerType), StructField("v", StringType))
+    )
+    def mkLoop(feedDir: String, base: String) = {
+      val targets = topics.map { t =>
+        t -> TableTarget(
+          TableSpec(schema, Seq("pk")),
+          new SnapshotTable(spark, s"$base/$t/table", numBuckets = 4),
+          new StagedStore(spark, s"$base/$t/stage", bucketNanos = 50L)
+        )
+      }.toMap
+      (
+        new MultiTableLoop(
+          spark, feedDir, targets,
+          dependsOn = Map("parent" -> Set("grand"), "child" -> Set("parent")),
+          checkpointDir = s"$base/checkpoint",
+          saltBuckets = 4, maxFilesPerTrigger = 3
+        ),
+        targets
+      )
+    }
+    def states(targets: Map[String, TableTarget]): Map[String, Set[(Int, String)]] =
+      targets.map { case (n, t) =>
+        n -> t.table.read().select("pk", "v").as[(Int, String)].collect().toSet
+      }
+
+    def writeFile(dir: String, name: String, content: String, mtimeMs: Long): Unit = {
+      val p = Paths.get(dir, name)
+      Files.writeString(p, content)
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+
+    // clean, uninterrupted baseline
+    val cleanFeed = tmpDir("fkchaos-cleanfeed")
+    files.zipWithIndex.foreach { case ((n, c), i) =>
+      writeFile(cleanFeed, n, c, 1000000L + i * 1000L)
+    }
+    val (cleanLoop, cleanTargets) = mkLoop(cleanFeed, tmpDir("fkchaos-clean"))
+    cleanLoop.runAvailableNow()
+    val want = states(cleanTargets)
+    assert(want.values.forall(_.nonEmpty))
+
+    Seq(5L, 19L, 77L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = tmpDir(s"fkchaos-$seed")
+      val feedDir = s"$base/feed"
+      Files.createDirectories(Paths.get(feedDir))
+      var delivered = 0
+      var dups = 0
+      while (delivered < files.size) {
+        val step = 1 + rnd.nextInt(8)
+        files.slice(delivered, delivered + step).zipWithIndex.foreach {
+          case ((n, c), i) =>
+            writeFile(feedDir, n, c, 1000000L + (delivered + i) * 1000L)
+        }
+        delivered = math.min(files.size, delivered + step)
+        if (rnd.nextBoolean()) {
+          // transport duplicate: an already-delivered file under a new name
+          dups += 1
+          val (_, c) = files(rnd.nextInt(delivered))
+          writeFile(feedDir, f"zdup$dups%04d.json", c, 1000000L + delivered * 1000L)
+        }
+        val (loop, _) = mkLoop(feedDir, base)
+        loop.runAvailableNow()
+        if (rnd.nextInt(3) == 0) deleteRecursively(Paths.get(s"$base/checkpoint"))
+      }
+      val (finalLoop, finalTargets) = mkLoop(feedDir, base)
+      finalLoop.runAvailableNow()
+      assert(
+        states(finalTargets) == want,
+        s"seed $seed diverged on the fan path (dups=$dups)"
+      )
+      assert(finalLoop.committedFence == cleanLoop.committedFence)
+    }
+  }
 }

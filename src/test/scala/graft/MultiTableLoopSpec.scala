@@ -137,6 +137,154 @@ class MultiTableLoopSpec extends SparkSpec {
     assert(plain == Set((1, "upd"))) // no CAS on this topic: plain LWW
   }
 
+  test("immediate (fan) mode: applies without fences, matches staged state, records resolved") {
+    val base = tmpDir("mtlimm")
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir))
+
+    def mut(topic: String, pk: Int, v: String, ts: Long): String =
+      s"""{"after":{"pk":$pk,"v":"$v"},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+
+    var mtime = 1000000L
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(feedDir, name)
+      Files.writeString(p, lines.mkString("\n"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      mtime += 1000
+    }
+    writeFile(
+      "0001.json",
+      Seq(
+        s"""{"payload":[${mut("parent", 1, "p1", 10)},${mut("child", 1, "c1", 11)}],"length":2}""",
+        s"""{"payload":[${mut("child", 2, "c2", 12)},${mut("child", 1, "c1b", 13)}],"length":2}""",
+        s"""{"resolved":"20.0000000000"}"""
+      )
+    )
+
+    val schema = StructType(
+      Seq(StructField("pk", IntegerType), StructField("v", StringType))
+    )
+    def target(dir: String, name: String) = TableTarget(
+      TableSpec(schema, Seq("pk")),
+      new SnapshotTable(spark, s"$base/$dir/$name/table", numBuckets = 4),
+      new StagedStore(spark, s"$base/$dir/$name/stage", bucketNanos = 100L)
+    )
+    def mkLoop(dir: String, immediate: Boolean) = {
+      val targets =
+        Map("parent" -> target(dir, "parent"), "child" -> target(dir, "child"))
+      (
+        new MultiTableLoop(
+          spark, feedDir, targets,
+          dependsOn = Map("child" -> Set("parent")),
+          checkpointDir = s"$base/$dir/checkpoint",
+          saltBuckets = 4, maxFilesPerTrigger = 4,
+          immediate = immediate
+        ),
+        targets
+      )
+    }
+    def state(targets: Map[String, TableTarget]) = targets.map { case (n, t) =>
+      n -> t.table.read().select("pk", "v").as[(Int, String)].collect().toSet
+    }
+
+    val (stagedLoop, stagedTargets) = mkLoop("staged", immediate = false)
+    stagedLoop.runAvailableNow()
+    val (immLoop, immTargets) = mkLoop("imm", immediate = true)
+    immLoop.runAvailableNow()
+
+    // staged ≡ immediate across the FK levels
+    assert(state(immTargets) == state(stagedTargets))
+    assert(state(immTargets)("child") == Set((1, "c1b"), (2, "c2")))
+    // immediate mode never staged anything
+    assert(immTargets.values.forall(_.stage.maxStagedBucket().isEmpty))
+    // no fence GATING, but the marker is RECORDED on the commit it rode with
+    assert(immLoop.committedFence == Hlc(20L, 0))
+
+    // the round-3 gap, demonstrated closed: a follow-up batch WITHOUT any
+    // resolved marker still applies in immediate mode, while the staged
+    // loop (correctly) keeps accumulating until the next fence
+    writeFile(
+      "0002.json",
+      // ts 130: a later staging ts-bucket than the fence (bucketNanos=100),
+      // so the staged loop's pending-topic scan can see it
+      Seq(s"""{"payload":[${mut("parent", 9, "p9", 130)}],"length":1}""")
+    )
+    immLoop.runAvailableNow()
+    stagedLoop.runAvailableNow()
+    assert(state(immTargets)("parent") == Set((1, "p1"), (9, "p9")))
+    assert(state(stagedTargets)("parent") == Set((1, "p1")))
+    assert(stagedLoop.pendingTopics() == Seq("parent"))
+  }
+
+  test("fan path vacuums snapshots: data versions and commit files stay bounded over many fences") {
+    val base = tmpDir("mtlvac")
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir))
+
+    def mut(topic: String, pk: Int, v: String, ts: Long): String =
+      s"""{"after":{"pk":$pk,"v":"$v"},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+
+    // 12 files, each its own fence => 12 per-table commits at cadence; both
+    // tables commit EVERY fence (untouched tables get metadata-only
+    // commits), which is exactly the unbounded-growth regime
+    var mtime = 1000000L
+    (1 to 12).foreach { i =>
+      val topic = if (i % 2 == 0) "a" else "b"
+      val p = Paths.get(feedDir, f"$i%04d.json")
+      Files.writeString(
+        p,
+        Seq(
+          s"""{"payload":[${mut(topic, i % 5, s"v$i", i * 10L)}],"length":1}""",
+          s"""{"resolved":"${i * 10L + 5}.0000000000"}"""
+        ).mkString("\n")
+      )
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      mtime += 1000
+    }
+
+    val schema = StructType(
+      Seq(StructField("pk", IntegerType), StructField("v", StringType))
+    )
+    def target(name: String) = TableTarget(
+      TableSpec(schema, Seq("pk")),
+      new SnapshotTable(spark, s"$base/$name/table", numBuckets = 4),
+      new StagedStore(spark, s"$base/$name/stage", bucketNanos = 100L)
+    )
+    val targets = Map("a" -> target("a"), "b" -> target("b"))
+    val keep = 3
+    val loop = new MultiTableLoop(
+      spark, feedDir, targets,
+      dependsOn = Map.empty,
+      checkpointDir = s"$base/checkpoint",
+      saltBuckets = 4,
+      maxFilesPerTrigger = 1, // one fence per micro-batch
+      vacuumKeepVersions = Some(keep)
+    )
+    loop.runAvailableNow()
+
+    targets.foreach { case (name, t) =>
+      val commits = Files.list(Paths.get(s"$base/$name/table/commits")).count()
+      assert(
+        commits <= keep,
+        s"table $name holds $commits commit files after 12 fences (keep=$keep)"
+      )
+      // copy-on-write: a bucket untouched since version v keeps v's data
+      // dir referenced (and protected) until it is rewritten, so the bound
+      // is keep + numBuckets distinct version dirs — still O(1) in the
+      // number of fences, which is the property under test (12 fences
+      // would otherwise leave 12 dirs)
+      val dataDirs = Files.list(Paths.get(s"$base/$name/table/data")).count()
+      assert(
+        dataDirs <= keep + 4,
+        s"table $name holds $dataDirs data-version dirs after 12 fences (keep=$keep)"
+      )
+    }
+    // and the state is still right (vacuum never touches referenced dirs)
+    val a = targets("a").table.read().select("pk", "v").as[(Int, String)].collect().toSet
+    assert(a == Set((2, "v12"), (0, "v10"), (3, "v8"), (1, "v6"), (4, "v4")), s"got $a")
+    assert(loop.committedFence == Hlc(125L, 0))
+  }
+
   test("appendMultiTopic: one-pass staging, idempotent replays, per-topic drift, seq bumps") {
     val base = tmpDir("amt")
     val t1 = new StagedStore(spark, s"$base/t1", bucketNanos = 100L)

@@ -406,6 +406,76 @@ class ReplayLoopSpec extends SparkSpec {
     assert(loop(Some(Long.MaxValue / 2)).effectiveMaxFiles == 8)
   }
 
+  test("fences solely off .RESOLVED filename markers (cloud-storage layout)") {
+    val feedDir = tmpDir("feedres")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2eres")
+
+    def mut(id: Int, v: String, nanos: Long): String =
+      s"""{"after":{"repo":"r","path":"p$id","commit":"$v","lang":"x","content":"$v"},"key":["r","p$id"],"updated":"$nanos.0000000000"}"""
+    // the reference's 33-digit marker name: YYYYMMDDHHMMSS ++ 9 nanos
+    // digits ++ 10 logical digits (resolved.go:69-101)
+    def markerName(nanos: Long, logical: Int): String = {
+      val dt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(nanos / 1000000000L))
+      f"$dt${nanos % 1000000000L}%09d$logical%010d.RESOLVED"
+    }
+
+    var mtime = 1000000L
+    def stamp(p: Path): Unit = {
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      mtime += 1000
+    }
+    def writeChunk(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(feedDir, "chunk=000000", name)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+      stamp(p)
+    }
+    // marker files live OUTSIDE the data glob (top level), are EMPTY, and
+    // carry the resolved timestamp purely in their name
+    def writeMarker(nanos: Long): Unit = {
+      val p = Paths.get(feedDir, markerName(nanos, 0))
+      Files.writeString(p, "")
+      stamp(p)
+    }
+
+    // data files carry NO in-stream resolved lines at all
+    writeChunk("a.ndjson", Seq(mut(1, "c1", 10L), mut(2, "c2", 11L)))
+    writeMarker(15L)
+    writeChunk("b.ndjson", Seq(mut(3, "c3", 20L), mut(2, "c2b", 21L)))
+    writeMarker(25L) // trailing marker: only the post-catch-up drain covers it
+
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    def mkLoop() = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      saltBuckets = 4, maxFilesPerTrigger = 1,
+      resolvedFromFilenames = true
+    )
+    val loop = mkLoop()
+    loop.runAvailableNow()
+
+    // both windows fenced: 15 via the in-stream mtime gate (delivery of
+    // b.ndjson proves the source passed the marker), 25 via the drain
+    assert(loop.committedFence == Hlc(25L, 0), s"got ${loop.committedFence}")
+    val state = table.read().select("path", "commit").as[(String, String)].collect().toMap
+    assert(state == Map("p1" -> "c1", "p2" -> "c2b", "p3" -> "c3"))
+
+    // restart: the persisted mtime high-water resumes the gate; a new chunk
+    // plus a new marker fence as usual
+    writeChunk("c.ndjson", Seq(mut(4, "c4", 30L)))
+    writeMarker(35L)
+    val loop2 = mkLoop()
+    loop2.runAvailableNow()
+    assert(loop2.committedFence == Hlc(35L, 0))
+    assert(
+      table.read().select("path").as[String].collect().toSet ==
+        Set("p1", "p2", "p3", "p4")
+    )
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
