@@ -77,6 +77,12 @@ object ApplyPlanner {
     */
   val ROWID = "rowid"
 
+  /** Per-unknown-column payload sample cap for drift-window type inference;
+    * types stabilize in far fewer rows, and the cap keeps inference cost
+    * independent of window size.
+    */
+  val InferenceSampleRows = 1024
+
   def plan(
       spark: SparkSession,
       specIn: TableSpec,
@@ -172,12 +178,31 @@ object ApplyPlanner {
       val inferSession = spark.newSession()
       inferSession.conf
         .set("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
+      // BOUNDED inference input: running schema inference over the whole
+      // window would re-execute the staged-scan pipeline a second time per
+      // drift window. Instead, sample up to `InferenceSampleRows` payloads
+      // PER unknown column, pre-filtered by a cheap substring test for the
+      // quoted field name (a JSON field always appears as `"name"` in the
+      // raw text; a value-side false positive only adds sample rows). The
+      // per-column quota keeps a rare drifting column from being crowded
+      // out of a shared sample, so any column with at least one bearing row
+      // in the window still evolves this window.
+      val sampled: Seq[String] = unknown
+        .flatMap { n =>
+          window
+            .select(col("data"))
+            .na
+            .drop()
+            .filter(col("data").contains(s""""$n""""))
+            .limit(InferenceSampleRows)
+            .collect()
+            .map(_.getString(0))
+        }
+        .distinct
       val inferred = inferSession.read
         .option("prefersDecimal", "true")
         .json(
-          inferSession.createDataset(
-            window.select(col("data")).na.drop().rdd.map(_.getString(0))
-          )(org.apache.spark.sql.Encoders.STRING)
+          inferSession.createDataset(sampled)(org.apache.spark.sql.Encoders.STRING)
         )
         .schema
       // normalize negative-scale decimals EVERYWHERE in the inferred type
@@ -267,8 +292,12 @@ object ApplyPlanner {
     // ---- value validation: enum allowed-values + lexical patterns -------
     // the analog of the reference's DB-side casts ($1::"MyEnum", ::INET,
     // ::VARBIT): an invalid value fails the WHOLE batch, it never lands
-    // silently. Deletes are exempt (no row image). Runs one extra bounded
-    // action only when a table actually configures validation.
+    // silently. Deletes are exempt (no row image). The check is a row-level
+    // `assert_true` guard INSIDE the batch plan, so it rides whatever
+    // action consumes the batch (normally the merge write) — validation
+    // costs zero extra Spark jobs, and a violation aborts the consuming
+    // job before anything commits, exactly like a DB-side cast error
+    // aborting the transaction.
     if (cfg.allowedValues.nonEmpty || cfg.patterns.nonEmpty) {
       val viols: Seq[(Column, String)] =
         cfg.allowedValues.toSeq.map { case (c, vals) =>
@@ -283,16 +312,15 @@ object ApplyPlanner {
           when(cond, concat(lit(s"$name="), coalesce(col(name).cast(StringType), lit("null"))))
         }: _*
       )
-      val bad = out
-        .filter(!col(SnapshotTable.DELETED) && anyViol)
-        .select(desc)
-        .limit(1)
-        .collect()
-      if (bad.nonEmpty) {
-        throw new SchemaDriftException(
-          s"invalid value for validated column: ${bad(0).getString(0)}"
-        )
-      }
+      // assert_true returns NULL when the condition holds and raises with
+      // the message otherwise; coalesce folds the guard into an
+      // always-true filter the optimizer cannot prune (RaiseError is
+      // non-foldable), keeping every row's check in the consuming job
+      val guard = assert_true(
+        col(SnapshotTable.DELETED) || !anyViol,
+        concat(lit("invalid value for validated column: "), desc)
+      )
+      out = out.filter(coalesce(guard.cast(BooleanType), lit(true)))
     }
 
     // ---- salted last-writer-wins dedup per key --------------------------

@@ -154,19 +154,29 @@ class TypesMatrixSpec extends SparkSpec {
       assert(r2.isNullAt(r2.fieldIndex(f)), s"expected null $f")
     }
 
-    // invalid INET / VARBIT fail the batch like a DB cast error
+    // invalid INET / VARBIT fail the batch like a DB cast error: the
+    // assert_true guard rides the consuming action, so the job itself
+    // aborts (message surfaces through Spark's task-failure cause chain)
     val badInet = Seq(("[3]", """{"pk":3,"c_inet":"not-an-ip"}""", 12L, 0, "f"))
       .toDF("key", "data", "nanos", "logical", "src_file")
-    val e1 = intercept[graft.model.SchemaDriftException] {
+    val e1 = intercept[Exception] {
       ApplyPlanner.plan(spark, spec, badInet, 4).batch.count()
     }
-    assert(e1.getMessage.contains("c_inet=not-an-ip"))
+    assert(
+      causeChain(e1).exists(_.contains("c_inet=not-an-ip")),
+      s"unexpected failure: $e1"
+    )
     val badBit = Seq(("[4]", """{"pk":4,"c_varbit":"10201"}""", 13L, 0, "f"))
       .toDF("key", "data", "nanos", "logical", "src_file")
-    intercept[graft.model.SchemaDriftException] {
+    val e2 = intercept[Exception] {
       ApplyPlanner.plan(spark, spec, badBit, 4).batch.count()
     }
+    assert(causeChain(e2).exists(_.contains("c_varbit=10201")), s"got $e2")
   }
+
+  private def causeChain(t: Throwable): List[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toList ::: causeChain(t.getCause)
 
   test("enum allowed-values validation (TestUTDEnum analog): valid lands, invalid fails batch") {
     val schema2 = StructType(
@@ -181,14 +191,39 @@ class TypesMatrixSpec extends SparkSpec {
       ("[44]", null.asInstanceOf[String], 3L, 0, "f") // delete exempt
     ).toDF("key", "data", "nanos", "logical", "src_file")
     val planned = ApplyPlanner.plan(spark, spec, ok, 4)
-    assert(planned.batch.count() == 3)
+    // validation is an in-plan guard, not a separate probe: consuming the
+    // batch costs exactly as many Spark jobs as an unvalidated plan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart
+      ): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(planned.batch.count() == 3)
+      val plain = ApplyPlanner
+        .plan(spark, TableSpec(schema2, Seq("pk"), allowEvolution = false), ok, 4)
+      val validated = ApplyPlanner.plan(spark, spec, ok, 4)
+      val before = jobs.get()
+      assert(plain.batch.count() == 3)
+      Thread.sleep(500) // let listener events drain
+      val plainJobs = jobs.get() - before
+      jobs.set(0)
+      assert(validated.batch.count() == 3)
+      Thread.sleep(500)
+      assert(
+        jobs.get() == plainJobs,
+        s"validated count ran ${jobs.get()} jobs vs $plainJobs unvalidated"
+      )
+    } finally spark.sparkContext.removeSparkListener(listener)
 
     val bad = Seq(("[45]", """{"pk":45,"val":"Repeated"}""", 4L, 0, "f"))
       .toDF("key", "data", "nanos", "logical", "src_file")
-    val e = intercept[graft.model.SchemaDriftException] {
+    val e = intercept[Exception] {
       ApplyPlanner.plan(spark, spec, bad, 4).batch.count()
     }
-    assert(e.getMessage.contains("val=Repeated"))
+    assert(causeChain(e).exists(_.contains("val=Repeated")), s"got $e")
   }
 
   test("EVOLVED columns infer decimal-safe types: 4E+2 and 2^53+1 survive exactly") {
