@@ -809,6 +809,10 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors TextOps.redactPii/piiCount exactly: email first, then the
+    // phone patterns IN ORDER, each replace/count running on the output of
+    // the previous (every pattern is alternation-free, the class on which
+    // Java's leftmost-first and RE2's leftmost-longest provably agree)
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -816,17 +820,33 @@ object SparkEntry {
         |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || CAST(doc_id + 1000000 AS VARCHAR)
         |           ELSE text END AS t
         |  FROM documents
-        |), r AS (
+        |), r0 AS (
         |  SELECT doc_id, t,
-        |         regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS red,
-        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS noemail
+        |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c0,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s0
         |  FROM p
+        |), r1 AS (
+        |  SELECT doc_id, c0, len(regexp_extract_all(s0, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS c1,
+        |         regexp_replace(s0, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS s1
+        |  FROM r0
+        |), r2 AS (
+        |  SELECT doc_id, c0, c1, len(regexp_extract_all(s1, '\+[0-9][0-9 ().-]{5,16}[0-9]')) AS c2,
+        |         regexp_replace(s1, '\+[0-9][0-9 ().-]{5,16}[0-9]', '<PHONE>', 'g') AS s2
+        |  FROM r1
+        |), r3 AS (
+        |  SELECT doc_id, c0, c1, c2, len(regexp_extract_all(s2, '\([0-9]{3}\) ?[0-9]{3}[-. ][0-9]{4}')) AS c3,
+        |         regexp_replace(s2, '\([0-9]{3}\) ?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS s3
+        |  FROM r2
+        |), r4 AS (
+        |  SELECT doc_id, c0, c1, c2, c3, len(regexp_extract_all(s3, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS c4,
+        |         regexp_replace(s3, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS s4
+        |  FROM r3
         |)
         |SELECT doc_id,
-        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + len(regexp_extract_all(noemail, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS BIGINT) AS n_pii,
-        |       md5(red) AS redacted_md5,
-        |       CAST(length(red) AS BIGINT) AS redacted_len
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |       CAST(c0 + c1 + c2 + c3 + c4 AS BIGINT) AS n_pii,
+        |       md5(s4) AS redacted_md5,
+        |       CAST(length(s4) AS BIGINT) AS redacted_len
+        |FROM r4 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

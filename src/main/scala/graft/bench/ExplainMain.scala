@@ -100,17 +100,14 @@ object ExplainMain {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cents = graft.ops.SimilarityOps
         .ivfTrainCentroids(base, nlist = 4, iters = 2, sampleSize = 64)
-      base
-        .withColumn("list_id", graft.ops.SimilarityOps.ivfListId(col("vec"), cents))
-        .write
-        .mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(root)
-      println("=== IVF probe over a list_id-partitioned base " +
-        "(expect PartitionFilters: list_id IN (0,1)) ===")
-      spark.read
-        .parquet(root)
-        .filter(col("list_id").isin(0, 1))
+      graft.ops.SimilarityOps.ivfBuildIndex(base, cents, root)
+      println("=== ivfSearchIndexed over a list_id-partitioned index " +
+        "(expect PartitionFilters on list_id: unprobed lists never open) ===")
+      val queries = base
+        .filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      graft.ops.SimilarityOps
+        .ivfSearchIndexed(queries, root, cents, k = 3, nprobe = 2)
         .explain("formatted")
     }
 

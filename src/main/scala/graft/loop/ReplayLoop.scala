@@ -369,6 +369,16 @@ final class ReplayLoop(
     * (AvailableNow over everything already in the feed) BEFORE starting the
     * continuous trigger; a fresh table (zero fence) always backfills.
     * Returns the streaming query, plus whether a backfill pass ran.
+    *
+    * The staleness check is ONE-SHOT, at startup — unlike the reference's
+    * loop, which re-enters backfill mode whenever lag exceeds the window
+    * mid-stream. A continuous query that falls far behind keeps its
+    * trigger; the operator owning the query decides when to cycle it:
+    * poll [[isLagging]] (cheap — commit-log metadata only) and, when true,
+    * `query.stop()` and call `startAuto` again for a fresh catch-up pass.
+    * Deliberate: restarting a Structured Streaming query is the engine's
+    * native mode switch, and an in-flight self-restart from inside
+    * foreachBatch would deadlock the stream it runs on.
     */
   def startAuto(
       backfillWindowNanos: Long,
@@ -376,9 +386,23 @@ final class ReplayLoop(
       trigger: Trigger = Trigger.ProcessingTime("1 second")
   ): (StreamingQuery, Boolean) = {
     val fence = committedFence
-    val stale = fence.isZero || fence.nanos < nowNanos - backfillWindowNanos
+    val stale = isLagging(backfillWindowNanos, nowNanos)
     if (stale) runAvailableNow()
     (start(trigger), stale)
+  }
+
+  /** True when the committed consistent point lags `nowNanos` by more than
+    * `backfillWindowNanos` (a zero fence is always lagging). Commit-log
+    * metadata only — safe to poll from a monitor thread while the
+    * continuous query runs, to decide a stop-and-[[startAuto]] cycle (see
+    * [[startAuto]]'s one-shot note).
+    */
+  def isLagging(
+      backfillWindowNanos: Long,
+      nowNanos: Long = System.currentTimeMillis() * 1000000L
+  ): Boolean = {
+    val fence = committedFence
+    fence.isZero || fence.nanos < nowNanos - backfillWindowNanos
   }
 }
 

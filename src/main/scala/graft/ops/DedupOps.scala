@@ -110,50 +110,69 @@ object DedupOps {
       col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig")
     )
-    // signatures RIDE the band join (a few hundred bytes per banded row):
-    // est_jaccard is then computable on the collided row itself, so the
-    // estimate prefilter drops false candidates BEFORE the dedup shuffle —
-    // measured much cheaper than the previous ids-only join followed by
-    // re-attaching signatures to every deduped candidate pair (two extra
-    // shuffle joins over the full candidate set)
-    val banded = withSig.select(
-      col("id"),
-      col("sig"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket")
-          )
-        }: _*)
-      ).as("bb")
-    ).select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // With a prefilter (minEst set), signatures RIDE the band join (a few
+    // hundred bytes per banded row): est_jaccard is then computable on the
+    // collided row itself, so the estimate drops false candidates BEFORE
+    // the dedup shuffle — measured much cheaper than an ids-only join
+    // followed by re-attaching signatures to every deduped candidate pair
+    // (two extra shuffle joins over the full candidate set). SKEW NOTE:
+    // that measurement assumes buckets near maxBucketSize are rare; a
+    // crowded-bucket-heavy corpus pays ~2 signatures (~numHashes*8 B each)
+    // per collided pair row, up to ~maxBucketSize²/2 pair rows per crowded
+    // bucket, which can invert the win. Without minEst the estimate buys
+    // nothing, so the join carries ids only.
+    val carrySig = minEst.isDefined
+    val sigCols = if (carrySig) Seq(col("sig")) else Nil
+    val banded = withSig
+      .select(
+        (Seq(col("id")) ++ sigCols :+ explode(
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket")
+            )
+          }: _*)
+        ).as("bb")): _*
+      )
+      .select(
+        (Seq(col("id")) ++ sigCols ++ Seq(
+          col("bb.band").as("band"),
+          col("bb.bucket").as("bucket")
+        )): _*
+      )
 
     val sized = SimilarityOps.capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
-    val l = sized.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = sized.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val collided = l
-      .join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn(
-        "est_jaccard",
-        size(
-          filter(
-            zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-            x => x
+    minEst match {
+      case Some(t) =>
+        val l = sized.select(
+          col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+        val r = sized.select(
+          col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+        val collided = l
+          .join(r, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn(
+            "est_jaccard",
+            size(
+              filter(
+                zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+                x => x
+              )
+            ).cast("double") / numHashes
           )
-        ).cast("double") / numHashes
-      )
-    val prefiltered = minEst match {
-      case Some(t) => collided.filter(col("est_jaccard") >= t)
-      case None => collided
+          .filter(col("est_jaccard") >= t)
+        // est_jaccard is a pure function of the pair, so the distinct over
+        // (id_a, id_b, est) collapses multi-band collisions exactly as before
+        collided.select("id_a", "id_b", "est_jaccard").distinct()
+      case None =>
+        val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val r = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
+        l.join(r, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
     }
-    // est_jaccard is a pure function of the pair, so the distinct over
-    // (id_a, id_b, est) collapses multi-band collisions exactly as before
-    prefiltered.select("id_a", "id_b", "est_jaccard").distinct()
   }
 
   /** The full near-dup pipeline: MinHash-LSH candidates → signature-based

@@ -257,12 +257,103 @@ object SimilarityOps {
   private def centsLiteral(cents: Array[Array[Double]]): Column =
     array(cents.map(c => array(c.map(lit): _*)): _*)
 
+  /** Above this many centroid elements (nlist x dim) the quantizer stops
+    * embedding centroids as a plan literal — a multi-million-node
+    * expression tree would blow up analysis/codegen — and switches to a
+    * broadcast centroid matrix consumed by a (deterministically identical)
+    * UDF. The literal path stays preferable below the cap: whole-stage
+    * codegen, no serialization.
+    */
+  val CentroidLiteralMaxElems: Int = 16384
+
+  /** driver-side argmax-dot — the single source of the assignment rule
+    * shared by training, the literal column and the broadcast UDF (first
+    * index wins ties, matching array_position-of-max)
+    */
+  private def nearestIdx(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0; var bestDot = Double.MinValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val row = cents(c)
+      val n = math.min(row.length, v.length)
+      while (i < n) { d += row(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** probe order: centroid indices by dot desc, index asc — identical to
+    * the literal path's array_sort(struct(-sim, idx))
+    */
+  private def topProbeIdx(
+      cents: Array[Array[Double]],
+      v: Seq[Double],
+      probes: Int
+  ): Seq[Int] =
+    cents.indices
+      .map { c =>
+        var d = 0.0; var i = 0
+        val row = cents(c)
+        val n = math.min(row.length, v.length)
+        while (i < n) { d += row(i) * v(i); i += 1 }
+        (-d, c)
+      }
+      .sorted
+      .take(probes)
+      .map(_._2)
+
   /** Nearest-centroid list id for a vector column (argmax dot against the
     * normalized centroid literal — pure Catalyst, codegen'd).
     */
   def ivfListId(vec: Column, cents: Array[Array[Double]]): Column = {
     val sims = transform(centsLiteral(cents), c => dot(vec, c))
     (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** [[ivfListId]] with the automatic literal/broadcast switch for large
+    * quantizers (see [[CentroidLiteralMaxElems]]).
+    */
+  def ivfListIdAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column,
+      cents: Array[Array[Double]],
+      literalMaxElems: Int = CentroidLiteralMaxElems
+  ): Column =
+    if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0) <= literalMaxElems)
+      ivfListId(vec, cents)
+    else {
+      val bc = spark.sparkContext.broadcast(cents)
+      udf((v: Seq[Double]) => nearestIdx(bc.value, v))
+        .apply(vec.cast("array<double>"))
+    }
+
+  /** per-query probe list ids (array column of the `probes` nearest
+    * centroid indices), with the same literal/broadcast switch
+    */
+  private def probeIdsCol(
+      spark: org.apache.spark.sql.SparkSession,
+      qvec: Column,
+      cents: Array[Array[Double]],
+      probes: Int,
+      literalMaxElems: Int
+  ): Column = {
+    val nlist = cents.length
+    if (nlist.toLong * cents.headOption.map(_.length).getOrElse(0) <= literalMaxElems) {
+      val simIdx = zip_with(
+        transform(centsLiteral(cents), c => dot(qvec, c)),
+        sequence(lit(0), lit(nlist - 1)),
+        (s, i) => struct((-s).as("neg"), i.as("idx"))
+      )
+      transform(
+        slice(array_sort(simIdx), 1, probes),
+        p => p.getField("idx").cast("int")
+      )
+    } else {
+      val bc = spark.sparkContext.broadcast(cents)
+      udf((v: Seq[Double]) => topProbeIdx(bc.value, v, probes))
+        .apply(qvec.cast("array<double>"))
+    }
   }
 
   /** IVF-Flat search: assign the base to inverted lists, probe the
@@ -279,25 +370,85 @@ object SimilarityOps {
       base: DataFrame, // (id, vec)
       cents: Array[Array[Double]],
       k: Int = 10,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      literalMaxElems: Int = CentroidLiteralMaxElems
   ): DataFrame = {
+    val spark = base.sparkSession
     val nlist = cents.length
     val probes = math.min(nprobe, nlist)
-    val assigned = base.withColumn("list_id", ivfListId(col("vec"), cents))
-    // nprobe nearest centroids per query: sort (−sim, idx) pairs, slice
-    val simIdx = zip_with(
-      transform(centsLiteral(cents), c => dot(col("qvec"), c)),
-      sequence(lit(0), lit(nlist - 1)),
-      (s, i) => struct((-s).as("neg"), i.as("idx"))
+    val assigned =
+      base.withColumn("list_id", ivfListIdAuto(spark, col("vec"), cents, literalMaxElems))
+    val probed = queries.withColumn(
+      "list_id",
+      explode(probeIdsCol(spark, col("qvec"), cents, probes, literalMaxElems))
     )
-    val probeIds = transform(
-      slice(array_sort(simIdx), 1, probes),
-      p => p.getField("idx").cast("int")
-    )
-    val probed = queries
-      .withColumn("list_id", explode(probeIds))
     probed
       .join(assigned, "list_id") // shuffle keyed by list id: scan fraction = nprobe/nlist
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+        )
+      )
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cos", "rank")
+  }
+
+  /** Persist an IVF index: the base written ONCE with its inverted-list
+    * assignment as a parquet PARTITION column. This is the 100 TB layout:
+    * a probe against the index reads only the probed `list_id=` directories
+    * (PartitionFilters — whole partitions never open), so per-query scan
+    * cost is nprobe/nlist of the base regardless of base size. Assignment
+    * is computed in one distributed pass; no shuffle (partitionBy writes
+    * directory-per-list from each task).
+    */
+  def ivfBuildIndex(
+      base: DataFrame, // (id, vec)
+      cents: Array[Array[Double]],
+      path: String,
+      literalMaxElems: Int = CentroidLiteralMaxElems
+  ): Unit =
+    base
+      .withColumn(
+        "list_id",
+        ivfListIdAuto(base.sparkSession, col("vec"), cents, literalMaxElems)
+      )
+      .write
+      .mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(path)
+
+  /** Search a persisted IVF index (see [[ivfBuildIndex]]): the distinct
+    * probe set (≤ queries × nprobe ints) is resolved driver-side into a
+    * LITERAL `list_id IN (...)` filter, so the scan prunes unprobed
+    * partitions statically — `.explain` shows `PartitionFilters` on
+    * `list_id`. The query side is evaluated twice (once for the probe set,
+    * once for the join); query batches are small by construction.
+    * Full probe (`nprobe == nlist`) is exactly brute force.
+    */
+  def ivfSearchIndexed(
+      queries: DataFrame, // (qid, qvec)
+      indexPath: String,
+      cents: Array[Array[Double]],
+      k: Int = 10,
+      nprobe: Int = 4,
+      literalMaxElems: Int = CentroidLiteralMaxElems
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = math.min(nprobe, cents.length)
+    val probed = queries.withColumn(
+      "list_id",
+      explode(probeIdsCol(spark, col("qvec"), cents, probes, literalMaxElems))
+    )
+    val probeSet: Array[Int] =
+      probed.select("list_id").distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(indexPath)
+    val pruned =
+      if (probeSet.isEmpty) index.filter(lit(false))
+      else index.filter(col("list_id").isin(probeSet.map(i => lit(i)): _*))
+    probed
+      .join(pruned, "list_id")
       .withColumn("cos", cosine(col("qvec"), col("vec")))
       .withColumn(
         "rank",

@@ -137,27 +137,55 @@ object TextOps {
     * scrub reproducible by the auditing engine.
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** hyphenated international format: +CC-NNN-N... */
   val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
 
-  /** Redact emails and international-format phone numbers from a text
-    * column (training corpora must not memorize contact details). Pure
-    * `regexp_replace` — codegen'd, no UDF, no shuffle.
+  /** Phone formats scrubbed, applied in order (each stays alternation-free;
+    * `?` and greedy class quantifiers agree between leftmost-first and
+    * leftmost-longest engines — only `|` diverges):
+    *  1. hyphenated international (+1-555-1234567);
+    *  2. general international — '+' then 6–16 digits with any mix of
+    *     space/dot/dash/parenthesis separators (+44 20 7946 0958,
+    *     +1 (555) 123-4567);
+    *  3. North-American parenthesized area code ((555) 123-4567);
+    *  4. bare separated triplets with dash/dot (555-123-4567,
+    *     555.123.4567). Space-separated bare digit runs are deliberately
+    *     NOT scrubbed — they collide with ordinary numeric prose.
+    */
+  val phonePatterns: Seq[String] = Seq(
+    phonePattern,
+    "\\+[0-9][0-9 ().-]{5,16}[0-9]",
+    "\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  )
+
+  /** Redact emails and phone numbers from a text column (training corpora
+    * must not memorize contact details). Pure chained `regexp_replace` —
+    * codegen'd, no UDF, no shuffle. Coverage = [[emailPattern]] +
+    * [[phonePatterns]]; each pattern runs on the output of the previous,
+    * so overlapping spans redact exactly once.
     */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      phonePattern,
-      "<PHONE>"
-    )
+    phonePatterns.foldLeft(regexp_replace(text, emailPattern, "<EMAIL>")) {
+      (t, p) => regexp_replace(t, p, "<PHONE>")
+    }
 
-  /** Count of PII spans a redaction of `text` would remove (phones are
-    * counted on the email-redacted text, matching [[redactPii]]'s order so
-    * a phone-shaped run inside an email is not double-counted).
+  /** Count of PII spans a redaction of `text` would remove. Each pattern is
+    * counted on the text already redacted by the patterns before it —
+    * matching [[redactPii]]'s application order exactly, so a span matched
+    * by two patterns (or a phone-shaped run inside an email) is never
+    * double-counted.
     */
-  def piiCount(text: Column): Column =
-    (regexp_count(text, lit(emailPattern)) +
-      regexp_count(
-        regexp_replace(text, emailPattern, "<EMAIL>"),
-        lit(phonePattern)
-      )).cast("long")
+  def piiCount(text: Column): Column = {
+    val (total, _) = phonePatterns.foldLeft(
+      (
+        regexp_count(text, lit(emailPattern)),
+        regexp_replace(text, emailPattern, "<EMAIL>")
+      )
+    ) { case ((count, redacted), p) =>
+      (count + regexp_count(redacted, lit(p)), regexp_replace(redacted, p, "<PHONE>"))
+    }
+    total.cast("long")
+  }
 }

@@ -87,8 +87,9 @@ final class StagedStore(
   ): Boolean = {
     val marker = markerDir.resolve(s"$batchId")
     if (Files.exists(marker)) return false
+    val seq = nextSeq()
     val stamped = mutations
-      .withColumn(SEQ, lit(nextSeq()))
+      .withColumn(SEQ, lit(seq))
       .withColumn(TS_BUCKET, floor(col("nanos") / bucketNanos))
     // shuffle-free by default (see `coalesceAppend`): each input task
     // writes its rows straight into the ts-bucket directories it touches
@@ -119,7 +120,7 @@ final class StagedStore(
           case Some(f: Seq[_]) => recordFields(f.map(_.toString))
           case _ => ()
         }
-        Files.writeString(marker, "{}")
+        Files.writeString(marker, s"""{"seq":$seq}""")
       case Some((pkArity, pkSrcNames)) =>
         // a PK-less spec (synthetic rowid) never validates here, but guard
         // the empty reduce anyway
@@ -169,7 +170,7 @@ final class StagedStore(
         // `_fields` file BEFORE the marker lands: a crash in between
         // replays the batch and re-unions (idempotent — sets only grow)
         recordFields(fields)
-        Files.writeString(marker, "{}")
+        Files.writeString(marker, s"""{"seq":$seq}""")
     }
     true
   }
@@ -360,13 +361,24 @@ final class StagedStore(
         }
       }
     }
-    // marker names are batch-identity hashes (not sequential), so recency
-    // comes from the file mtime; ties break on name for determinism
+    // marker names are batch-identity hashes (not sequential); recency
+    // comes from the store seq embedded in the marker CONTENT (exact and
+    // monotone — file mtime alone mis-orders markers written within one
+    // coarse-granularity mtime tick). Legacy seq-less markers sort oldest,
+    // then by (mtime, name) for determinism.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def markerSeq(p: java.nio.file.Path): Long =
+      try {
+        val n = mapper.readTree(Files.readString(p)).get("seq")
+        if (n == null) Long.MinValue else n.asLong(Long.MinValue)
+      } catch { case _: Exception => Long.MinValue }
     val markers = StagedStore
       .listDir(markerDir)
-      .map(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString, p))
-      .sortBy { case (t, n, _) => (t, n) }
-    markers.dropRight(markerKeep).foreach { case (_, _, p) => Files.deleteIfExists(p) }
+      .map(p =>
+        (markerSeq(p), Files.getLastModifiedTime(p).toMillis, p.getFileName.toString, p)
+      )
+      .sortBy { case (s, t, n, _) => (s, t, n) }
+    markers.dropRight(markerKeep).foreach { case (_, _, _, p) => Files.deleteIfExists(p) }
     dropped
   }
 
@@ -501,7 +513,10 @@ object StagedStore {
       }
       Files.writeString(st.seqFile, seqOf(t).toString)
       st.recordFields(summary.get(t).map(_._2).getOrElse(Nil))
-      Files.writeString(st.markerDir.resolve(s"$batchId"), "{}")
+      Files.writeString(
+        st.markerDir.resolve(s"$batchId"),
+        s"""{"seq":${seqOf(t)}}"""
+      )
     }
     // scratch cleanup (only empty partition dirs and _SUCCESS remain)
     def rm(p: java.nio.file.Path): Unit = {

@@ -253,6 +253,73 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"partial-probe recall $recall too low")
   }
 
+  test("IVF persisted index: probe prunes partitions statically and matches in-plan search") {
+    val base = (0 until 400)
+      .map { i =>
+        val r = new scala.util.Random(i)
+        val c = i % 8
+        val center = Array.tabulate(16)(d => math.sin(c * 1.3 + d * 0.5))
+        (i.toLong, center.map(x => (x + 0.15 * (r.nextDouble() * 2 - 1)).toFloat))
+      }
+      .toDF("id", "vec")
+    val queries = base
+      .filter($"id" < 12)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val cents =
+      SimilarityOps.ivfTrainCentroids(base, nlist = 8, iters = 4, sampleSize = 256)
+
+    val idx = tmpDir("ivfidx")
+    SimilarityOps.ivfBuildIndex(base, cents, idx)
+    // base landed as one directory per inverted list
+    import scala.jdk.CollectionConverters._
+    val listDirs = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+    )(_.iterator().asScala.count(_.getFileName.toString.startsWith("list_id=")))
+    assert(listDirs >= 2, s"expected partitioned layout, got $listDirs list dirs")
+
+    // the probe is a LITERAL partition filter: unprobed list_id directories
+    // are pruned at planning time (the 100 TB path — scan cost is
+    // nprobe/nlist of the base no matter its size)
+    val indexed =
+      SimilarityOps.ivfSearchIndexed(queries, idx, cents, k = 5, nprobe = 2)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters: [") && plan.contains("list_id"),
+      s"expected a static list_id PartitionFilter in:\n$plan"
+    )
+
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    // indexed search ≡ the in-plan operator at the same nprobe
+    assert(
+      rset(indexed) ==
+        rset(SimilarityOps.ivfSearch(queries, base, cents, k = 5, nprobe = 2))
+    )
+    // full probe through the index is exactly brute force
+    val exact = rset(SimilarityOps.knnBruteForce(queries, base, 5))
+    assert(
+      rset(SimilarityOps.ivfSearchIndexed(queries, idx, cents, k = 5, nprobe = 8))
+        == exact
+    )
+    // the broadcast-UDF quantizer path (forced via literalMaxElems = 0, the
+    // large-nlist regime where a centroid literal would blow up the plan)
+    // is bit-identical to the literal path
+    assert(
+      rset(
+        SimilarityOps
+          .ivfSearch(queries, base, cents, k = 5, nprobe = 8, literalMaxElems = 0)
+      ) == exact
+    )
+    val idxUdf = tmpDir("ivfidx-udf")
+    SimilarityOps.ivfBuildIndex(base, cents, idxUdf, literalMaxElems = 0)
+    assert(
+      rset(
+        SimilarityOps
+          .ivfSearchIndexed(queries, idxUdf, cents, k = 5, nprobe = 2, literalMaxElems = 0)
+      ) == rset(indexed)
+    )
+  }
+
   private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
@@ -352,7 +419,9 @@ class TrainingOpsSpec extends SparkSpec {
       (2L, "call +44-555-1234567 or +1-555-0100 now"),
       (3L, "email a@b.io and phone +1-555-9999 both"),
       (4L, "nothing sensitive here, just code: x = a @ b"),
-      (5L, "almost: user@localhost and +1-55-0100 are NOT matches")
+      (5L, "almost: user@localhost is NOT an email, 12-34 not a phone"),
+      (6L, "intl +44 20 7946 0958, paren (555) 123-4567, bare 555.123.4567"),
+      (7L, "versions 1.2.3 and 10.20.30 stay; so does 'answer 42'")
     ).toDF("id", "text")
     val out = rows
       .select(
@@ -368,8 +437,13 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2L) == (("call <PHONE> or <PHONE> now", 2L)))
     assert(out(3L) == (("email <EMAIL> and phone <PHONE> both", 2L)))
     assert(out(4L) == (("nothing sensitive here, just code: x = a @ b", 0L)))
-    // user@localhost has no dotted TLD; +1-55-0100 has a 2-digit middle group
-    assert(out(5L) == (("almost: user@localhost and +1-55-0100 are NOT matches", 0L)))
+    // user@localhost has no dotted TLD; short digit runs are not phones
+    assert(out(5L) == (("almost: user@localhost is NOT an email, 12-34 not a phone", 0L)))
+    // broadened formats: general international, parenthesized area code,
+    // bare dash/dot-separated triplets — each its own pattern, one count
+    assert(out(6L) == (("intl <PHONE>, paren <PHONE>, bare <PHONE>", 3L)))
+    // ordinary numeric prose survives the broadened patterns
+    assert(out(7L) == (("versions 1.2.3 and 10.20.30 stay; so does 'answer 42'", 0L)))
   }
 
   test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
