@@ -545,6 +545,62 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank"))
         .sortSmall("qid", "rank")
     }),
+    "q_knn_ivf_indexed" -> ((s, dir) => {
+      // the PERSISTED IVF index path: base written once partitioned by
+      // list_id, probes prune partitions statically (PartitionFilters).
+      // Full-probe mode is exactly brute force, so the same oracle covers
+      // the whole build→probe→re-rank pipeline.
+      val emb = pq(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb
+        .filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val cents =
+        SimilarityOps.ivfTrainCentroids(emb, nlist = 16, iters = 4, sampleSize = 1024)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index")
+        .toString
+      SimilarityOps.ivfBuildIndex(emb, cents, idx)
+      SimilarityOps
+        .ivfSearchIndexed(queries, idx, cents, k = 5, nprobe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .sortSmall("qid", "rank")
+    }),
+    "q_repetition" -> ((s, dir) => {
+      // intra-document repetition (C4 line-dedup / Gopher n-gram signal):
+      // duplicate-line and duplicate-3-gram fractions. Repetition is
+      // PLANTED on a deterministic slice (doc_id % 5 == 0) so the operator
+      // has real signal; the oracle re-derives both ratios from the same
+      // planted text.
+      val d = pq(s, dir, "documents")
+      val t = when(
+        col("doc_id") % 5 === 0,
+        concat_ws(
+          "\n",
+          col("text"),
+          col("text"),
+          lit("repeated line"),
+          lit("repeated line")
+        )
+      ).otherwise(col("text"))
+      d.select(
+        col("doc_id"),
+        TextOps.dupLineFracMicro(t).as("dup_line_micro"),
+        TextOps.dupGram3FracMicro(t).as("dup_gram3_micro")
+      ).sortSmall("doc_id")
+    }),
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher-style document quality gates (Rae et al. 2021 §A1.1): each
+      // micro-scaled signal plus the combined pass/fail bit
+      val d = pq(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextOps.meanWordLenMicro(col("text")).as("mean_wlen_micro"),
+        TextOps.symbolRatioMicro(col("text")).as("symbol_micro"),
+        TextOps.bulletFracMicro(col("text")).as("bullet_micro"),
+        TextOps.gopherPass(col("text")).cast(LongType).as("gopher_pass")
+      ).sortSmall("doc_id")
+    }),
     "q_embed_near_dup" -> ((s, dir) => {
       // the raw embeddings table has no pairs above ~0.51 cosine, so the
       // near-dup operator is exercised on base ∪ planted perturbations:
@@ -974,6 +1030,61 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS BIGINT) AS rank
         |  FROM q CROSS JOIN e
         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // full-probe through the PERSISTED index is exactly brute force too
+    "q_knn_ivf_indexed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+        |SELECT qid, id, rank FROM (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         CAST(row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS BIGINT) AS rank
+        |  FROM q CROSS JOIN e
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // repetition ratios re-derived on the same planted text: lines = trimmed
+    // non-empty chr(10) splits; grams = space-joined word triples (1-based
+    // list comprehension; range() is end-exclusive so short docs give [])
+    "q_repetition" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |           THEN text || chr(10) || text || chr(10) || 'repeated line' || chr(10) || 'repeated line'
+        |           ELSE text END AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls,
+        |         list_filter(regexp_split_to_array(t, '\s+'), x -> len(x) > 0) AS ws
+        |  FROM p
+        |), g AS (
+        |  SELECT doc_id, ls,
+        |         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)] AS gs
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN len(ls) < 2 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000 + 0.5) AS BIGINT) END AS dup_line_micro,
+        |       CASE WHEN len(gs) < 1 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) * 1000000 + 0.5) AS BIGINT) END AS dup_gram3_micro
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text AS t,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN len(ws) < 1 THEN 0 ELSE CAST(FLOOR(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) * 1000000 + 0.5) AS BIGINT) END AS mean_wlen_micro,
+        |         CAST(FLOOR(CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / greatest(len(ws), 1) * 1000000 + 0.5) AS BIGINT) AS symbol_micro,
+        |         CASE WHEN len(ls) < 1 THEN 0 ELSE CAST(FLOOR(CAST(len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS DOUBLE) / len(ls) * 1000000 + 0.5) AS BIGINT) END AS bullet_micro,
+        |         CASE WHEN len(ls) < 2 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000 + 0.5) AS BIGINT) END AS dup_line_micro
+        |  FROM w
+        |)
+        |SELECT doc_id, mean_wlen_micro, symbol_micro, bullet_micro,
+        |       CAST(CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |                  AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+        |                  AND symbol_micro <= 100000
+        |                  AND bullet_micro <= 900000
+        |                  AND dup_line_micro <= 300000
+        |             THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_embed_near_dup" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -128,6 +128,122 @@ object TextOps {
   def normalizedHash(text: Column): Column =
     sha2(regexp_replace(trim(lower(text)), "\\s+", " "), 256)
 
+  // ------------------------------------- intra-document repetition (C4-ish)
+
+  /** Non-empty trimmed lines of a document. */
+  private def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Duplicate-LINE fraction in micros: 1 − distinct/total over non-empty
+    * trimmed lines — the classic boilerplate/navigation-chrome signal
+    * (C4-style line dedup decides on exactly this ratio). 0 for documents
+    * with fewer than 2 lines. Pure Catalyst; all integer/million-scaled
+    * arithmetic so an auditing engine reproduces it bit-exactly.
+    */
+  def dupLineFracMicro(text: Column): Column = {
+    val ls = lines(text)
+    val n = size(ls)
+    when(n < 2, lit(0L)).otherwise(
+      floor(
+        (lit(1.0) - size(array_distinct(ls)).cast("double") / n) * 1000000 + lit(0.5)
+      ).cast("long")
+    )
+  }
+
+  /** Word 3-grams of a document (space-joined, whitespace-tokenized). */
+  private def wordGrams3(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws)
+    when(n < 3, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), n - 3),
+        i =>
+          concat_ws(
+            " ",
+            element_at(ws, i + 1),
+            element_at(ws, i + 2),
+            element_at(ws, i + 3)
+          )
+      )
+    )
+  }
+
+  /** Duplicate word-3-gram fraction in micros: 1 − distinct/total over the
+    * document's word 3-grams — the Gopher/RefinedWeb repetition signal
+    * that catches looped phrases line dedup misses. 0 below 3 words.
+    */
+  def dupGram3FracMicro(text: Column): Column = {
+    val gs = wordGrams3(text)
+    val n = size(gs)
+    when(n < 1, lit(0L)).otherwise(
+      floor(
+        (lit(1.0) - size(array_distinct(gs)).cast("double") / n) * 1000000 + lit(0.5)
+      ).cast("long")
+    )
+  }
+
+  // ------------------------------------------- Gopher-style quality rules
+
+  /** Mean whitespace-token length in micros (0 for empty documents). */
+  def meanWordLenMicro(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws)
+    when(n < 1, lit(0L)).otherwise(
+      floor(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / n
+          * 1000000 + lit(0.5)
+      ).cast("long")
+    )
+  }
+
+  /** '#' and '...' occurrences per word, in micros (the Gopher
+    * symbol-to-word ratio; ∞ avoided by flooring at 1 word).
+    */
+  def symbolRatioMicro(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    floor(
+      (hashes + ellipses).cast("double") /
+        greatest(size(tokens(text)), lit(1)) * 1000000 + lit(0.5)
+    ).cast("long")
+  }
+
+  /** Fraction of non-empty lines starting with a bullet ('-', '*', '•'),
+    * in micros — 0 when the document has no lines.
+    */
+  def bulletFracMicro(text: Column): Column = {
+    val ls = lines(text)
+    val n = size(ls)
+    val bullets = size(
+      filter(
+        ls,
+        l =>
+          startswith(l, lit("-")) || startswith(l, lit("*")) ||
+            startswith(l, lit("•"))
+      )
+    )
+    when(n < 1, lit(0L)).otherwise(
+      floor(bullets.cast("double") / n * 1000000 + lit(0.5)).cast("long")
+    )
+  }
+
+  /** The Gopher paper's document-level quality gates (Rae et al. 2021,
+    * §A1.1), as one boolean: 50 ≤ words ≤ 100000, mean word length in
+    * [3, 10] characters, symbol-to-word ratio ≤ 0.1, bullet-line fraction
+    * ≤ 0.9, duplicate-line fraction ≤ 0.3. Every input is one of the
+    * micro-scaled integer columns above, so the gate is reproducible
+    * bit-exactly by an auditing engine.
+    */
+  def gopherPass(text: Column): Column = {
+    val n = size(tokens(text))
+    (n >= 50 && n <= 100000) &&
+    meanWordLenMicro(text).between(3000000L, 10000000L) &&
+    (symbolRatioMicro(text) <= 100000L) &&
+    (bulletFracMicro(text) <= 900000L) &&
+    (dupLineFracMicro(text) <= 300000L)
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Alternation-free patterns on purpose: Spark's Java regex is

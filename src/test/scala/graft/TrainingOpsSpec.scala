@@ -446,6 +446,64 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(7L) == (("versions 1.2.3 and 10.20.30 stay; so does 'answer 42'", 0L)))
   }
 
+  test("repetition ratios: duplicate lines and 3-grams, short-doc floors") {
+    val rows = Seq(
+      // 4 lines, 2 distinct -> dup_line = 1 - 2/4 = 0.5
+      (1L, "alpha beta\nalpha beta\ngamma delta\ngamma delta"),
+      // no repetition at all
+      (2L, "one two three four five six"),
+      // looped phrase: "spam ham eggs" x4 -> 10 grams, 3 distinct
+      (3L, (1 to 4).map(_ => "spam ham eggs").mkString(" ")),
+      (4L, "tiny doc"), // < 3 words, < 2 lines -> both 0
+      (5L, "")
+    ).toDF("id", "text")
+    val out = rows
+      .select(
+        $"id",
+        TextOps.dupLineFracMicro($"text").as("dl"),
+        TextOps.dupGram3FracMicro($"text").as("dg")
+      )
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(out(1L)._1 == 500000L)
+    assert(out(2L) == ((0L, 0L)))
+    // 12 words -> 10 grams; distinct = {s h e, h e s, e s h} = 3
+    assert(out(3L)._2 == 700000L, s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L)))
+    assert(out(5L) == ((0L, 0L)))
+  }
+
+  test("Gopher quality gates: each signal and the combined pass bit") {
+    val longOk = (1 to 60).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, longOk), // passes everything
+      (2L, "short doc only"), // < 50 words
+      (3L, longOk + " " + (1 to 12).map(_ => "#").mkString(" ")), // symbol-heavy
+      (4L, (1 to 60).map(i => s"- bullet$i").mkString("\n")) // all bullets
+    ).toDF("id", "text")
+    val out = rows
+      .select(
+        $"id",
+        TextOps.meanWordLenMicro($"text").as("mw"),
+        TextOps.symbolRatioMicro($"text").as("sy"),
+        TextOps.bulletFracMicro($"text").as("bu"),
+        TextOps.gopherPass($"text").as("p")
+      )
+      .as[(Long, Long, Long, Long, Boolean)]
+      .collect()
+      .map(t => t._1 -> t)
+      .toMap
+    assert(out(1L)._5, s"clean long doc must pass: ${out(1L)}")
+    assert(!out(2L)._5, "under 50 words must fail")
+    // 12 '#' over 72 words = 0.1667 > 0.1
+    assert(out(3L)._2 > 100000L && !out(3L)._5)
+    assert(out(4L)._4 == 1000000L && !out(4L)._5, s"got ${out(4L)}")
+    // mean word length of 'word1'..'word60' ≈ 5.57 chars
+    assert(out(1L)._2 > 5000000L && out(1L)._2 < 6000000L)
+  }
+
   test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
     val evalDocs = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")
