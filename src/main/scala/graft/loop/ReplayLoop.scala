@@ -90,12 +90,38 @@ final class ReplayLoop(
     val resolvedFromFilenames: Boolean = false
 ) {
 
-  /** High-water mtime (millis) over all feed files delivered so far — the
-    * filename-marker gate. Persisted as a commit metric so a restarted loop
-    * resumes the gate instead of re-fencing blind.
+  /** High-water mtime (millis) over all DATA files delivered so far — the
+    * filename-marker gate's ground truth ("anything with mtime <= hw was
+    * delivered; anything above it may not have been"). Persisted per batch
+    * in a file scoped to the CHECKPOINT directory: the streaming checkpoint
+    * decides which files count as delivered, so the two must live and die
+    * together — a wiped checkpoint redelivers everything and rebuilds the
+    * high-water from zero, while a surviving checkpoint keeps it exact even
+    * for batches that never triggered a merge.
     */
-  private var deliveredMtimeHw: Long =
-    table.log.latest().flatMap(_.metric("delivered_mtime_hw")).getOrElse(0L)
+  private def hwFile = java.nio.file.Paths.get(checkpointDir, "graft_delivered_hw")
+
+  private var deliveredMtimeHw: Long = {
+    val fromFile =
+      try {
+        if (java.nio.file.Files.exists(hwFile))
+          java.nio.file.Files.readString(hwFile).trim.toLong
+        else 0L
+      } catch { case _: Exception => 0L }
+    // legacy fallback: rounds that persisted the high-water as a commit
+    // metric only
+    math.max(
+      fromFile,
+      table.log.latest().flatMap(_.metric("delivered_mtime_hw")).getOrElse(0L)
+    )
+  }
+
+  private def advanceDeliveredHw(mtimes: Seq[Long]): Unit =
+    if (mtimes.nonEmpty && mtimes.max > deliveredMtimeHw) {
+      deliveredMtimeHw = mtimes.max
+      java.nio.file.Files.createDirectories(hwFile.getParent)
+      java.nio.file.Files.writeString(hwFile, deliveredMtimeHw.toString)
+    }
 
   /** current spec: schema follows the table's committed schema */
   private def currentSpec: TableSpec = {
@@ -217,24 +243,44 @@ final class ReplayLoop(
     }
 
     // advance the filename-marker gate: everything in this batch was
-    // delivered, so any marker at or below the newest delivered mtime has
-    // provably been passed by the (oldest-first) file source
+    // delivered, so the delivered-data high-water moves to the newest
+    // mtime among this batch's files
     if (resolvedFromFilenames && files.nonEmpty) {
-      val mtimes = files.flatMap(ReplayLoop.fileMtimeMillis)
-      if (mtimes.nonEmpty) deliveredMtimeHw = math.max(deliveredMtimeHw, mtimes.max)
+      advanceDeliveredHw(files.flatMap(ReplayLoop.fileMtimeMillis))
     }
     val markerFence: Option[Hlc] =
-      if (!resolvedFromFilenames) None
-      else
-        listResolvedMarkers()
-          .filter { case (_, mtime) => mtime <= deliveredMtimeHw }
-          .map(_._1)
-          .maxOption
+      if (!resolvedFromFilenames) None else safeMarkerFence()
 
     val fence = committedFence
     (newResolved.toSeq ++ markerFence).maxOption.filter(_ > fence).foreach { target =>
       mergeToFence(target, batchId, lineage)
     }
+  }
+
+  /** Newest `.RESOLVED` marker that is SAFE to fence: no data file older
+    * than the marker (by mtime) can still be undelivered. "Undelivered"
+    * is conservative — any data file with mtime above the delivered
+    * high-water counts — so the gate can only delay a fence (the marker
+    * qualifies one trigger later, or at the post-catch-up drain), never
+    * jump ahead of data the stream has listed but not yet staged. A
+    * ROWLESS data file above the high-water keeps later markers gated
+    * until a newer data file delivers (conservative; markers themselves
+    * are exempt because their content is irrelevant by definition).
+    */
+  private def safeMarkerFence(): Option[Hlc] = {
+    val entries = listFeedEntries()
+    val minUndeliveredData = entries
+      .collect {
+        case (p, mtime, None)
+            if mtime > deliveredMtimeHw &&
+              java.nio.file.Files.isRegularFile(p) =>
+          mtime
+      }
+      .minOption
+      .getOrElse(Long.MaxValue)
+    entries
+      .collect { case (_, mtime, Some(hlc)) if mtime < minUndeliveredData => hlc }
+      .maxOption
   }
 
   /** Merge the staged window up to `target` and commit the fence — the
@@ -293,37 +339,43 @@ final class ReplayLoop(
     vacuumKeepVersions.foreach(table.vacuum(_))
   }
 
-  /** `.RESOLVED` marker files currently in the feed directory:
-    * (parsed HLC, file mtime millis). Driver-side metadata listing only
-    * (depth 2 — top level plus chunk subdirectories).
+  /** Every regular file in the feed tree (depth 2 — top level plus chunk
+    * subdirectories): (path, mtime millis, parsed marker HLC — Some for
+    * `<33-digit>.RESOLVED` names, None for data files). Driver-side
+    * metadata listing only.
     */
-  private def listResolvedMarkers(): Seq[(Hlc, Long)] = {
+  private def listFeedEntries(): Seq[(java.nio.file.Path, Long, Option[Hlc])] = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.exists(dir)) Nil
     else
       scala.util.Using.resource(java.nio.file.Files.walk(dir, 2)) {
         _.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".RESOLVED"))
-          .flatMap { p =>
-            graft.feed.Envelopes
-              .parseResolvedFilename(p.getFileName.toString)
-              .map(_ -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            val name = p.getFileName.toString
+            val hlc =
+              if (name.endsWith(".RESOLVED"))
+                graft.feed.Envelopes.parseResolvedFilename(name)
+              else None
+            (p, java.nio.file.Files.getLastModifiedTime(p).toMillis, hlc)
           }
           .toSeq
       }
   }
 
-  /** Fence to the newest `.RESOLVED` marker unconditionally — correct only
-    * when every feed file has been delivered, i.e. after an AvailableNow
-    * pass has terminated (the drain step of [[runAvailableNow]]). A
-    * continuous query instead fences a marker one trigger later, when the
-    * next data file proves delivery passed it — watermark-style lag.
+  /** Fence trailing `.RESOLVED` markers after a catch-up pass: once the
+    * AvailableNow query has terminated, every data file it listed was
+    * delivered, so the high-water covers them and [[safeMarkerFence]]'s
+    * gate is open for markers newer than all data (the only ones an
+    * in-batch fence cannot reach — markers carry no rows, so they never
+    * advance the high-water themselves). The gate itself stays authoritative:
+    * data that raced into the directory AFTER the pass started (and so may
+    * not have been delivered) still blocks markers newer than it.
     */
   def drainResolvedFilenameMarkers(): Unit = if (resolvedFromFilenames) {
-    deliveredMtimeHw = math.max(deliveredMtimeHw, System.currentTimeMillis())
-    listResolvedMarkers().map(_._1).maxOption.filter(_ > committedFence).foreach {
-      target => mergeToFence(target, batchId = -1L, Seq("drain=resolved-markers"))
+    safeMarkerFence().filter(_ > committedFence).foreach { target =>
+      mergeToFence(target, batchId = -1L, Seq("drain=resolved-markers"))
     }
   }
 

@@ -132,6 +132,90 @@ class ChaosSweepSpec extends SparkSpec {
     }
   }
 
+  test(".RESOLVED filename-marker feeds survive restart/wipe chaos (mtime gate + drain)") {
+    // cloud-storage layout: data chunks carry NO in-stream resolved lines;
+    // empty .RESOLVED marker files interleave with them. The delivery-mtime
+    // gate plus the post-catch-up drain must fence correctly under random
+    // wave sizes, restarts, and checkpoint wipes.
+    def mut(id: Int, v: String, nanos: Long): String =
+      s"""{"after":{"repo":"r","path":"p$id","commit":"$v","lang":"x","content":"$v"},"key":["r","p$id"],"updated":"$nanos.0000000000"}"""
+    def markerName(nanos: Long): String = {
+      val dt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(nanos / 1000000000L))
+      f"$dt${nanos % 1000000000L}%09d${0}%010d.RESOLVED"
+    }
+    // 8 data chunks (3 muts each, ids overlap for LWW), a marker after
+    // every second chunk; items carry strictly increasing mtimes
+    val gen = new scala.util.Random(7L)
+    var ts = 10L
+    val items: Seq[(String, Option[String])] = (1 to 8).flatMap { i =>
+      val lines = (0 until 3).map { _ =>
+        ts += 1; mut(gen.nextInt(12), s"v$ts", ts)
+      }
+      val chunk = Seq((f"chunk=000000/c$i%02d.ndjson", Some(lines.mkString("\n"))))
+      if (i % 2 == 0) { ts += 1; chunk :+ ((markerName(ts), None)) }
+      else chunk
+    }
+
+    def writeItems(feedDir: String, slice: Seq[((String, Option[String]), Int)]): Unit =
+      slice.foreach { case ((name, content), idx) =>
+        val p = Paths.get(feedDir, name)
+        Files.createDirectories(p.getParent)
+        Files.writeString(p, content.getOrElse(""))
+        Files.setLastModifiedTime(
+          p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L)
+        )
+      }
+    def mkLoop(feedDir: String, base: String): (ReplayLoop, SnapshotTable) = {
+      val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+      val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 10L)
+      (
+        new ReplayLoop(
+          spark, feedDir, table, stage, s"$base/checkpoint",
+          TableSpec(payloadSchema, Seq("repo", "path")),
+          saltBuckets = 4, maxFilesPerTrigger = 2,
+          resolvedFromFilenames = true
+        ),
+        table
+      )
+    }
+
+    // clean baseline
+    val cleanFeed = tmpDir("resmark-cleanfeed")
+    writeItems(cleanFeed, items.zipWithIndex)
+    val (cleanLoop, cleanTable) = mkLoop(cleanFeed, tmpDir("resmark-clean"))
+    cleanLoop.runAvailableNow()
+    val want = state(cleanTable)
+    assert(want.nonEmpty)
+    assert(cleanLoop.committedFence > graft.model.Hlc.Zero)
+
+    Seq(3L, 41L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = tmpDir(s"resmark-$seed")
+      val feedDir = s"$base/feed"
+      Files.createDirectories(Paths.get(feedDir))
+      var delivered = 0
+      while (delivered < items.size) {
+        val step = 1 + rnd.nextInt(5)
+        writeItems(
+          feedDir,
+          items.zipWithIndex.slice(delivered, delivered + step)
+        )
+        delivered = math.min(items.size, delivered + step)
+        val (loop, _) = mkLoop(feedDir, base)
+        loop.runAvailableNow()
+        if (rnd.nextInt(3) == 0) deleteRecursively(Paths.get(s"$base/checkpoint"))
+      }
+      val (finalLoop, finalTable) = mkLoop(feedDir, base)
+      finalLoop.runAvailableNow()
+      assert(state(finalTable) == want, s"seed $seed diverged on the marker feed")
+      assert(finalLoop.committedFence == cleanLoop.committedFence)
+    }
+  }
+
   // ---- fan-path chaos: a 3-level FK chain through MultiTableLoop ----
 
   test("FK-chain chaos: restart/wipe/duplicate schedules converge on the multi-table fan path") {
