@@ -403,6 +403,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .sortSmall("doc_id")
     }),
+    "q_mixture_plan" -> ((s, dir) => {
+      // token-budgeted corpus mixing end-to-end: exact per-language token
+      // totals -> expectation-hitting Bernoulli fractions -> reproducible
+      // hash sample -> achieved per-language doc/token counts. The oracle
+      // re-derives the totals, the fractions (IEEE double arithmetic
+      // matches bit-exactly), the md5 membership, and the final counts.
+      val d = pq(s, dir, "documents")
+        .withColumn("toks", TextOps.tokenCount(col("text")))
+      val budgets = Map("en" -> 20000L, "de" -> 5000L, "zh" -> 1000L)
+      val fractions = SampleOps.mixtureFractions(d, "lang", "toks", budgets)
+      SampleOps
+        .stratifiedHashSample(d, "doc_id", "lang", fractions)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("n_tokens")
+        )
+        .sortSmall("lang")
+    }),
     "q_corpus_curate" -> ((s, dir) => {
       // the full corpus-curation pipeline COMPOSED end-to-end, one oracled
       // answer: exact dedup -> near-dup clustering -> canonical selection
@@ -1063,6 +1082,31 @@ object SparkEntry {
         |       CASE WHEN len(ls) < 2 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000 + 0.5) AS BIGINT) END AS dup_line_micro,
         |       CASE WHEN len(gs) < 1 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) * 1000000 + 0.5) AS BIGINT) END AS dup_gram3_micro
         |FROM g ORDER BY doc_id""".stripMargin,
+    // totals -> least(1, budget/total) fractions -> md5 membership -> counts;
+    // every step is integer or IEEE-double arithmetic both engines share
+    "q_mixture_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS toks
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, SUM(toks) AS t FROM d GROUP BY lang
+        |), fr AS (
+        |  SELECT lang,
+        |         CASE lang
+        |           WHEN 'en' THEN least(1.0, 20000.0 / t)
+        |           WHEN 'de' THEN least(1.0, 5000.0 / t)
+        |           WHEN 'zh' THEN least(1.0, 1000.0 / t)
+        |           ELSE NULL END AS f
+        |  FROM tot
+        |), s AS (
+        |  SELECT d.lang, d.toks
+        |  FROM d JOIN fr ON d.lang = fr.lang
+        |  WHERE fr.f IS NOT NULL
+        |    AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) / 4294967296.0 < fr.f
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id, text AS t,

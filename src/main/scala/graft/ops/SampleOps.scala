@@ -40,6 +40,32 @@ object SampleOps {
     * (`try_element_at` — ANSI-safe on missing keys), so there is no join
     * and no shuffle regardless of stratum skew.
     */
+  /** Token-budgeted mixture planning: per-stratum Bernoulli fractions that
+    * hit each stratum's token budget in expectation, from exact per-stratum
+    * totals (`fraction = min(1, budget / total)`; a stratum with no budget
+    * or no rows is omitted — downstream [[stratifiedHashSample]] drops it).
+    * One groupBy over the strata column (driver result is
+    * strata-cardinality-sized — languages/sources, not rows), then the
+    * sample itself remains a pure filter: the standard re-weighting loop
+    * for corpus mixing, with the subset property preserved as budgets grow.
+    */
+  def mixtureFractions(
+      df: DataFrame,
+      strataCol: String,
+      weightCol: String,
+      budgets: Map[String, Long]
+  ): Map[String, Double] = {
+    val totals: Map[String, Long] = df
+      .groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("t"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+      .toMap
+    budgets.flatMap { case (s, b) =>
+      totals.get(s).filter(_ > 0).map(t => s -> math.min(1.0, b.toDouble / t))
+    }
+  }
+
   def stratifiedHashSample(
       df: DataFrame,
       idCol: String,

@@ -504,6 +504,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L)._2 > 5000000L && out(1L)._2 < 6000000L)
   }
 
+  test("mixture planner: budget-hitting fractions, caps, omissions, subset property") {
+    val d = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 600L), // en total 1000
+      (4L, "de", 50L), (5L, "de", 50L), // de total 100
+      (6L, "fr", 10L) // no budget -> dropped
+    ).toDF("doc_id", "lang", "toks")
+    val fr = SampleOps.mixtureFractions(
+      d, "lang", "toks",
+      Map("en" -> 250L, "de" -> 1000000L, "zh" -> 5L)
+    )
+    assert(fr("en") == 0.25) // 250 / 1000
+    assert(fr("de") == 1.0) // budget above total caps at 1
+    assert(!fr.contains("zh"), "budgeted stratum with no rows is omitted")
+    assert(!fr.contains("fr"), "stratum without a budget is omitted")
+
+    // subset property survives the planner: growing a budget only ADDS docs
+    val small = SampleOps
+      .stratifiedHashSample(d, "doc_id", "lang", fr)
+      .select("doc_id").as[Long].collect().toSet
+    val grown = SampleOps.mixtureFractions(
+      d, "lang", "toks", Map("en" -> 600L, "de" -> 1000000L))
+    val big = SampleOps
+      .stratifiedHashSample(d, "doc_id", "lang", grown)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big), s"$small not within $big")
+  }
+
   test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
     val evalDocs = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")
