@@ -103,8 +103,10 @@ object ExplainMain {
       graft.ops.SimilarityOps.ivfBuildIndex(base, cents, root)
       println("=== ivfSearchIndexed over a list_id-partitioned index " +
         "(expect PartitionFilters on list_id: unprobed lists never open) ===")
+      // ONE query so the probe set (nprobe=2 of nlist=4) visibly prunes
+      // half the partitions in the printed PartitionFilters
       val queries = base
-        .filter(col("id") < 3)
+        .filter(col("id") < 1)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       graft.ops.SimilarityOps
         .ivfSearchIndexed(queries, root, cents, k = 3, nprobe = 2)
