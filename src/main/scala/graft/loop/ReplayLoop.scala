@@ -79,13 +79,14 @@ final class ReplayLoop(
       * in the feed directory — the changefeed cloud-storage layout, where
       * the resolved signal is the file NAME, not a payload line (reference:
       * internal/source/cdc/resolved.go:36-101). Markers are observed via a
-      * driver-side directory listing (metadata only), gated on delivery
-      * progress: a marker fences only once a feed file with mtime >= the
-      * marker's has been DELIVERED by the stream, so a multi-batch catch-up
-      * cannot fence past data the source has listed but not yet delivered
-      * (delivery is oldest-mtime-first). After an AvailableNow pass the
-      * gate is provably open for everything — `runAvailableNow` drains the
-      * remaining markers unconditionally.
+      * driver-side directory listing (metadata only) and gated on delivery
+      * progress: a marker fences only when NO data file older than it (by
+      * mtime) can still be undelivered, judged against a per-batch
+      * delivered-mtime high-water persisted with the checkpoint — so
+      * neither a multi-batch catch-up nor a post-wipe redelivery can fence
+      * past data the source has listed but not yet staged
+      * ([[safeMarkerFence]]). Trailing markers (newer than every data
+      * file) fence at the [[runAvailableNow]] drain, through the same gate.
       */
     val resolvedFromFilenames: Boolean = false
 ) {
@@ -271,15 +272,14 @@ final class ReplayLoop(
     val entries = listFeedEntries()
     val minUndeliveredData = entries
       .collect {
-        case (p, mtime, None)
-            if mtime > deliveredMtimeHw &&
-              java.nio.file.Files.isRegularFile(p) =>
-          mtime
+        case (_, mtime, false, _) if mtime > deliveredMtimeHw => mtime
       }
       .minOption
       .getOrElse(Long.MaxValue)
     entries
-      .collect { case (_, mtime, Some(hlc)) if mtime < minUndeliveredData => hlc }
+      .collect {
+        case (_, mtime, _, Some(hlc)) if mtime < minUndeliveredData => hlc
+      }
       .maxOption
   }
 
@@ -340,11 +340,15 @@ final class ReplayLoop(
   }
 
   /** Every regular file in the feed tree (depth 2 — top level plus chunk
-    * subdirectories): (path, mtime millis, parsed marker HLC — Some for
-    * `<33-digit>.RESOLVED` names, None for data files). Driver-side
-    * metadata listing only.
+    * subdirectories): (path, mtime millis, isMarker, parsed marker HLC).
+    * ANY `*.RESOLVED` name counts as marker-kind (excluded from the
+    * undelivered-data check even when its 33 digits fail to parse — a
+    * malformed rowless marker must not block later fences forever); only
+    * parseable ones contribute a fence candidate. Driver-side metadata
+    * listing only.
     */
-  private def listFeedEntries(): Seq[(java.nio.file.Path, Long, Option[Hlc])] = {
+  private def listFeedEntries()
+      : Seq[(java.nio.file.Path, Long, Boolean, Option[Hlc])] = {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.exists(dir)) Nil
@@ -354,11 +358,11 @@ final class ReplayLoop(
           .filter(java.nio.file.Files.isRegularFile(_))
           .map { p =>
             val name = p.getFileName.toString
+            val isMarker = name.endsWith(".RESOLVED")
             val hlc =
-              if (name.endsWith(".RESOLVED"))
-                graft.feed.Envelopes.parseResolvedFilename(name)
+              if (isMarker) graft.feed.Envelopes.parseResolvedFilename(name)
               else None
-            (p, java.nio.file.Files.getLastModifiedTime(p).toMillis, hlc)
+            (p, java.nio.file.Files.getLastModifiedTime(p).toMillis, isMarker, hlc)
           }
           .toSeq
       }
