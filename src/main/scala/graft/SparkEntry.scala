@@ -403,6 +403,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .sortSmall("doc_id")
     }),
+    "q_dup_spans" -> ((s, dir) => {
+      // exact-substring overlap (Lee et al. 2021 at doc granularity): the
+      // fraction of 50-char-gram positions shared with another document.
+      // Spark hashes grams to longs for the shuffle; the fraction is
+      // hash-invariant, so DuckDB re-derives it from the raw substrings.
+      DedupOps
+        .dupSpanFracMicro(pq(s, dir, "documents"), "text", "doc_id", k = 50)
+        .select(col("id").as("doc_id"), col("dup_span_micro"))
+        .sortSmall("doc_id")
+    }),
     "q_mixture_plan" -> ((s, dir) => {
       // token-budgeted corpus mixing end-to-end: exact per-language token
       // totals -> expectation-hitting Bernoulli fractions -> reproducible
@@ -1082,6 +1092,22 @@ object SparkEntry {
         |       CASE WHEN len(ls) < 2 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000 + 0.5) AS BIGINT) END AS dup_line_micro,
         |       CASE WHEN len(gs) < 1 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) * 1000000 + 0.5) AS BIGINT) END AS dup_gram3_micro
         |FROM g ORDER BY doc_id""".stripMargin,
+    // raw-substring re-derivation of the hashed-gram pipeline: the shared
+    // fraction is hash-invariant (64-bit collisions aside, the q_ngram
+    // precedent); range() is end-exclusive so docs shorter than k give []
+    "q_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([substr(text, i, 50) for i in range(1, len(text) - 50 + 2)]) AS gr
+        |  FROM documents WHERE len(text) >= 50
+        |), st AS (
+        |  SELECT gr, count(DISTINCT doc_id) AS nd FROM g GROUP BY gr
+        |), p AS (
+        |  SELECT g.doc_id,
+        |         CAST(FLOOR(CAST(SUM(CASE WHEN st.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS m
+        |  FROM g JOIN st USING (gr) GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(p.m, 0) AS dup_span_micro
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // totals -> least(1, budget/total) fractions -> md5 membership -> counts;
     // every step is integer or IEEE-double arithmetic both engines share
     "q_mixture_plan" ->

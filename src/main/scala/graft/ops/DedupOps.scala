@@ -379,6 +379,58 @@ object DedupOps {
       .distinct()
   }
 
+  // ---------------------------------------------- exact-substring overlap
+
+  /** Per-document duplicated-span fraction, in micros: the share of a
+    * document's k-CHAR-gram positions whose gram also occurs in ANOTHER
+    * document — the document-granularity reading of exact-substring
+    * deduplication (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499, which removes duplicated
+    * spans ≥ 50 tokens; the fraction is the filter-side signal: a document
+    * that is mostly spans seen elsewhere is boilerplate or a copy).
+    *
+    * Shape = the standard inverted-index pipeline and it scales like one:
+    * position grams explode map-side (hashed to longs so the shuffle
+    * carries 8 B keys, like the Jaccard shingles), one groupBy counts
+    * distinct holders per gram, one join + one per-doc aggregate produce
+    * the fraction. No driver-side state; ~|text| rows per document in
+    * flight, the same budget the decontamination probe pays.
+    * Documents shorter than k score 0.
+    */
+  def dupSpanFracMicro(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 50
+  ): DataFrame = {
+    val t = col(textCol)
+    val grams = df
+      .filter(length(t) >= k)
+      .select(
+        col(idCol).as("id"),
+        explode(
+          transform(
+            sequence(lit(1), length(t) - k + 1),
+            i => xxhash64(t.substr(i, lit(k)))
+          )
+        ).as("g")
+      )
+    val stats = grams.groupBy("g").agg(countDistinct("id").as("nd"))
+    val perDoc = grams
+      .join(stats, "g")
+      .groupBy("id")
+      .agg(
+        floor(
+          sum(when(col("nd") > 1, 1).otherwise(0)).cast("double") /
+            count(lit(1)) * 1000000 + lit(0.5)
+        ).cast("long").as("dup_span_micro")
+      )
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na
+      .fill(0, Seq("dup_span_micro"))
+  }
+
   // ------------------------------------------------- duplicate clustering
 
   /** Connected components over an undirected pair table — the clustering

@@ -504,6 +504,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L)._2 > 5000000L && out(1L)._2 < 6000000L)
   }
 
+  test("duplicated-span fraction: shared k-grams across docs, short-doc floor") {
+    val shared = "0123456789" * 3 // 30 chars, planted in docs 1 and 2
+    val rows = Seq(
+      (1L, shared + "A" * 30), // 60 chars: positions 1..51, some covering `shared`
+      (2L, "B" * 30 + shared), // same 30-char span at the other end
+      (3L, "C" * 60), // 60 chars, nothing shared
+      (4L, "tiny") // < k -> 0
+    ).toDF("doc_id", "text")
+    val out = DedupOps
+      .dupSpanFracMicro(rows, "text", "doc_id", k = 10)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // doc 1: grams at positions 1..21 lie fully inside `shared`+prefix —
+    // every gram fully within the shared 30 chars (positions 1..21) also
+    // occurs in doc 2, so the fraction is strictly between 0 and 1
+    assert(out(1L) > 0L && out(1L) < 1000000L, s"got ${out(1L)}")
+    assert(out(2L) > 0L && out(2L) < 1000000L)
+    assert(out(3L) == 0L, "unshared doc must score 0")
+    assert(out(4L) == 0L, "doc shorter than k must score 0")
+    // symmetric construction: both holders of the span see the same count
+    // of shared positions (21 of 51) -> identical fractions
+    assert(out(1L) == out(2L))
+  }
+
   test("mixture planner: budget-hitting fractions, caps, omissions, subset property") {
     val d = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 600L), // en total 1000
