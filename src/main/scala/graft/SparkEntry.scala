@@ -590,10 +590,17 @@ object SparkEntry {
         .createTempDirectory("graft-ivf-index")
         .toString
       SimilarityOps.ivfBuildIndex(emb, cents, idx)
-      SimilarityOps
+      // materialize the (tiny) result eagerly, then reclaim the index —
+      // it holds a full partitioned copy of the embeddings table, and a
+      // lazily-returned plan would keep the temp dir pinned (and leaked)
+      // per invocation
+      val out = SimilarityOps
         .ivfSearchIndexed(queries, idx, cents, k = 5, nprobe = 16)
         .select(col("qid"), col("id"), col("rank"))
         .sortSmall("qid", "rank")
+        .localCheckpoint(true)
+      graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(idx))
+      out
     }),
     "q_repetition" -> ((s, dir) => {
       // intra-document repetition (C4 line-dedup / Gopher n-gram signal):

@@ -79,7 +79,10 @@ object ApplyPlanner {
 
   /** Per-unknown-column payload sample cap for drift-window type inference;
     * types stabilize in far fewer rows, and the cap keeps inference cost
-    * independent of window size.
+    * independent of window size. The sample is deterministic (ordered by
+    * stage timestamp before the cap), and a full-window conflict guard
+    * catches any representation that first appears beyond the cap — see
+    * the guard block in [[plan]].
     */
   val InferenceSampleRows = 1024
 
@@ -186,20 +189,23 @@ object ApplyPlanner {
       // raw text; a value-side false positive only adds sample rows). The
       // per-column quota keeps a rare drifting column from being crowded
       // out of a shared sample, so any column with at least one bearing row
-      // in the window still evolves this window.
+      // in the window still evolves this window. The sample is
+      // DETERMINISTIC — ordered by (nanos, logical, key) before the limit
+      // (TakeOrderedAndProject, still one bounded pass) — so identical
+      // replays infer, and commit, identical schemas.
       val sampled: Seq[String] = unknown
         .flatMap { n =>
           window
-            .select(col("data"))
-            .na
-            .drop()
+            .filter(col("data").isNotNull)
             .filter(col("data").contains(s""""$n""""))
+            .orderBy(col("nanos"), col("logical"), col("key"))
             .limit(InferenceSampleRows)
+            .select(col("data"))
             .collect()
             .map(_.getString(0))
         }
         .distinct
-      val inferred = inferSession.read
+      val inferredSampled = inferSession.read
         .option("prefersDecimal", "true")
         .json(
           inferSession.createDataset(sampled)(org.apache.spark.sql.Encoders.STRING)
@@ -208,7 +214,11 @@ object ApplyPlanner {
       // normalize negative-scale decimals EVERYWHERE in the inferred type
       // (top level, struct fields, array/map elements): one surviving
       // DECIMAL(p,-s) in the committed schema DDL would make every later
-      // StructType.fromDDL throw once the permissive conf is gone
+      // StructType.fromDDL throw once the permissive conf is gone — and
+      // the conflict guard's from_json probe below needs DDL-expressible
+      // types too. Sanitizing widens (scale-0 decimal covers every value
+      // the negative-scale form did), so probing with sanitized types
+      // never creates false conflicts.
       def sanitize(dt: DataType): DataType = dt match {
         case d: DecimalType if d.scale < 0 =>
           DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision - d.scale), 0)
@@ -218,6 +228,77 @@ object ApplyPlanner {
         case MapType(k, v, n) => MapType(sanitize(k), sanitize(v), n)
         case other => other
       }
+      // post-cap conflict guard: a value representation that first appears
+      // BEYOND the sample cap (e.g. a string after 1024 ints) must still
+      // widen the schema exactly as unbounded inference would. One
+      // aggregate over the window flags any payload whose raw JSON carries
+      // the field but whose typed parse nulls it (the sampled type cannot
+      // represent it); only the flagged columns pay a full-window
+      // re-inference. String-typed columns can represent anything, so the
+      // common case is guard-passes-no-fallback.
+      val guarded = unknown
+        .flatMap(n => inferredSampled.fields.find(_.name == n))
+        .filterNot(_.dataType == StringType)
+        .map(f => f.copy(dataType = sanitize(f.dataType)))
+      val conflicted: Seq[String] =
+        if (guarded.isEmpty) Nil
+        else {
+          val probe = from_json(col("data"), StructType(guarded))
+          val aggs = guarded.map { f =>
+            max(
+              when(
+                get_json_object(col("data"), s"$$.${f.name}").isNotNull &&
+                  probe.getField(f.name).isNull,
+                1
+              ).otherwise(0)
+            ).as(f.name)
+          }
+          val row = window
+            .filter(col("data").isNotNull)
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()(0)
+          guarded.zipWithIndex.collect {
+            case (f, i) if !row.isNullAt(i) && row.getInt(i) == 1 => f.name
+          }
+        }
+      val inferred =
+        if (conflicted.isEmpty) inferredSampled
+        else {
+          // full-window inference for just the conflicted columns —
+          // DISTRIBUTED (read.json over the bearing payloads, never a
+          // driver collect: a conflict can surface anywhere in an
+          // unbounded window). Type merging is commutative, so the result
+          // stays deterministic regardless of row order. The payloads hop
+          // sessions through the (session-agnostic) RDD: the inference job
+          // must execute UNDER inferSession so its permissive
+          // negative-scale conf propagates to the executors running
+          // JsonInferSchema (a dataset still bound to the caller's session
+          // would ship the caller's strict conf and throw on exponent
+          // decimals like 4E+2).
+          val bearingRdd = window
+            .filter(col("data").isNotNull)
+            .filter(
+              conflicted
+                .map(n => col("data").contains(s""""$n""""))
+                .reduce(_ || _)
+            )
+            .select(col("data"))
+            .as(org.apache.spark.sql.Encoders.STRING)
+            .rdd
+          val full = inferSession.read
+            .option("prefersDecimal", "true")
+            .json(
+              inferSession.createDataset(bearingRdd)(
+                org.apache.spark.sql.Encoders.STRING
+              )
+            )
+            .schema
+          StructType(inferredSampled.fields.map { f =>
+            if (conflicted.contains(f.name))
+              full.fields.find(_.name == f.name).getOrElse(f)
+            else f
+          })
+        }
       val newFields = unknown.flatMap { n =>
         inferred.fields
           .find(_.name == n)

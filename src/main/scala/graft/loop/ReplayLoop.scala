@@ -92,36 +92,68 @@ final class ReplayLoop(
 ) {
 
   /** High-water mtime (millis) over all DATA files delivered so far — the
-    * filename-marker gate's ground truth ("anything with mtime <= hw was
-    * delivered; anything above it may not have been"). Persisted per batch
-    * in a file scoped to the CHECKPOINT directory: the streaming checkpoint
-    * decides which files count as delivered, so the two must live and die
-    * together — a wiped checkpoint redelivers everything and rebuilds the
-    * high-water from zero, while a surviving checkpoint keeps it exact even
-    * for batches that never triggered a merge.
+    * filename-marker gate's ground truth ("anything with mtime < hw was
+    * delivered; anything above it may not have been"). Files AT the
+    * high-water tick are ambiguous by mtime alone: with coarse filesystem
+    * timestamps or burst writes, several files share one tick while
+    * `maxFilesPerTrigger` caps what one batch delivers — so the gate also
+    * persists the IDENTITY (path set) of delivered files at exactly the
+    * high-water mtime, and a same-tick file NOT in that set counts as
+    * undelivered. Persisted per batch in a file scoped to the CHECKPOINT
+    * directory: the streaming checkpoint decides which files count as
+    * delivered, so the two must live and die together — a wiped checkpoint
+    * redelivers everything and rebuilds the high-water from zero, while a
+    * surviving checkpoint keeps it exact even for batches that never
+    * triggered a merge. The set is bounded: only paths sharing the single
+    * newest delivered mtime are kept (older ticks are covered by `< hw`).
     */
   private def hwFile = java.nio.file.Paths.get(checkpointDir, "graft_delivered_hw")
 
-  private var deliveredMtimeHw: Long = {
-    val fromFile =
+  private var deliveredMtimeHw: Long = 0L
+
+  /** Paths (scheme-stripped) of delivered data files whose mtime equals
+    * [[deliveredMtimeHw]] exactly.
+    */
+  private var deliveredAtHw: Set[String] = Set.empty
+
+  locally {
+    val (fromFileHw, fromFileSet) =
       try {
-        if (java.nio.file.Files.exists(hwFile))
-          java.nio.file.Files.readString(hwFile).trim.toLong
-        else 0L
-      } catch { case _: Exception => 0L }
+        if (java.nio.file.Files.exists(hwFile)) {
+          val ls = java.nio.file.Files.readString(hwFile).linesIterator.toSeq
+          (ls.headOption.map(_.trim.toLong).getOrElse(0L),
+            ls.drop(1).map(_.trim).filter(_.nonEmpty).toSet)
+        } else (0L, Set.empty[String])
+      } catch { case _: Exception => (0L, Set.empty[String]) }
     // legacy fallback: rounds that persisted the high-water as a commit
-    // metric only
-    math.max(
-      fromFile,
+    // metric only (no identity set — conservative: same-tick files then
+    // count undelivered, which can only delay a fence)
+    val legacy =
       table.log.latest().flatMap(_.metric("delivered_mtime_hw")).getOrElse(0L)
-    )
+    if (legacy > fromFileHw) {
+      deliveredMtimeHw = legacy
+      deliveredAtHw = Set.empty
+    } else {
+      deliveredMtimeHw = fromFileHw
+      deliveredAtHw = fromFileSet
+    }
   }
 
-  private def advanceDeliveredHw(mtimes: Seq[Long]): Unit =
-    if (mtimes.nonEmpty && mtimes.max > deliveredMtimeHw) {
-      deliveredMtimeHw = mtimes.max
+  private def advanceDeliveredHw(delivered: Seq[(String, Long)]): Unit =
+    if (delivered.nonEmpty && delivered.map(_._2).max >= deliveredMtimeHw) {
+      val newHw = math.max(deliveredMtimeHw, delivered.map(_._2).max)
+      val atTick = delivered.collect {
+        case (p, m) if m == newHw => ReplayLoop.normalizePath(p)
+      }.toSet
+      deliveredAtHw =
+        if (newHw == deliveredMtimeHw) deliveredAtHw ++ atTick else atTick
+      deliveredMtimeHw = newHw
       java.nio.file.Files.createDirectories(hwFile.getParent)
-      java.nio.file.Files.writeString(hwFile, deliveredMtimeHw.toString)
+      java.nio.file.Files.writeString(
+        hwFile,
+        (deliveredMtimeHw.toString +: deliveredAtHw.toSeq.sorted)
+          .mkString("\n")
+      )
     }
 
   /** current spec: schema follows the table's committed schema */
@@ -247,7 +279,9 @@ final class ReplayLoop(
     // delivered, so the delivered-data high-water moves to the newest
     // mtime among this batch's files
     if (resolvedFromFilenames && files.nonEmpty) {
-      advanceDeliveredHw(files.flatMap(ReplayLoop.fileMtimeMillis))
+      advanceDeliveredHw(
+        files.flatMap(f => ReplayLoop.fileMtimeMillis(f).map(f -> _))
+      )
     }
     val markerFence: Option[Hlc] =
       if (!resolvedFromFilenames) None else safeMarkerFence()
@@ -261,18 +295,28 @@ final class ReplayLoop(
   /** Newest `.RESOLVED` marker that is SAFE to fence: no data file older
     * than the marker (by mtime) can still be undelivered. "Undelivered"
     * is conservative — any data file with mtime above the delivered
-    * high-water counts — so the gate can only delay a fence (the marker
-    * qualifies one trigger later, or at the post-catch-up drain), never
-    * jump ahead of data the stream has listed but not yet staged. A
-    * ROWLESS data file above the high-water keeps later markers gated
-    * until a newer data file delivers (conservative; markers themselves
-    * are exempt because their content is irrelevant by definition).
+    * high-water counts, and so does a file AT the high-water tick whose
+    * path is not in the delivered identity set (coarse mtimes / burst
+    * writes put several files on one tick while `maxFilesPerTrigger` caps
+    * a batch; mtime alone cannot tell the delivered ones apart) — so the
+    * gate can only delay a fence (the marker qualifies one trigger later,
+    * or at the post-catch-up drain), never jump ahead of data the stream
+    * has listed but not yet staged. A ROWLESS data file above the
+    * high-water keeps later markers gated until a newer data file
+    * delivers (conservative; markers themselves are exempt because their
+    * content is irrelevant by definition).
     */
   private def safeMarkerFence(): Option[Hlc] = {
     val entries = listFeedEntries()
     val minUndeliveredData = entries
       .collect {
-        case (_, mtime, false, _) if mtime > deliveredMtimeHw => mtime
+        case (p, mtime, false, _)
+            if mtime > deliveredMtimeHw ||
+              (mtime == deliveredMtimeHw &&
+                !deliveredAtHw.contains(
+                  ReplayLoop.normalizePath(p.toAbsolutePath.toString)
+                )) =>
+          mtime
       }
       .minOption
       .getOrElse(Long.MaxValue)
@@ -488,6 +532,13 @@ object ReplayLoop {
     val d = md.digest(files.sorted.mkString("\n").getBytes("UTF-8"))
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
+
+  /** Scheme-stripped path identity shared by `input_file_name()` names and
+    * `java.nio` listings, so the delivered-file identity set matches across
+    * both spellings.
+    */
+  def normalizePath(name: String): String =
+    name.stripPrefix("file://").stripPrefix("file:")
 
   /** mtime (millis) of a feed file as named by `input_file_name()` —
     * tolerates the `file:`/`file://` scheme prefix; None if unreadable.

@@ -15,4 +15,10 @@ object Dirs {
     if (!Files.exists(p)) Nil
     else scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
   }
+
+  /** Recursive delete (best-effort; missing paths are fine). */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 }

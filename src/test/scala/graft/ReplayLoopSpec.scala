@@ -476,6 +476,52 @@ class ReplayLoopSpec extends SparkSpec {
     )
   }
 
+  test(".RESOLVED marker gate survives mtime TIES (burst writes, coarse clock)") {
+    // Burst scenario: two data files and the marker all land on the SAME
+    // mtime tick while maxFilesPerTrigger=1 caps each batch to one file.
+    // A gate keyed on max delivered mtime alone treats the not-yet-
+    // delivered twin as delivered (tie is not `>` the high-water) and
+    // fences past its rows, orphaning them forever; the delivered-identity
+    // set keeps the marker gated until BOTH files actually deliver.
+    val feedDir = tmpDir("feedtie")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2etie")
+
+    def mut(id: Int, v: String, nanos: Long): String =
+      s"""{"after":{"repo":"r","path":"p$id","commit":"$v","lang":"x","content":"$v"},"key":["r","p$id"],"updated":"$nanos.0000000000"}"""
+    def markerName(nanos: Long): String = {
+      val dt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMddHHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(nanos / 1000000000L))
+      f"$dt${nanos % 1000000000L}%09d${0}%010d.RESOLVED"
+    }
+    val tick = java.nio.file.attribute.FileTime.fromMillis(5000000L)
+    def write(rel: String, content: String): Unit = {
+      val p = Paths.get(feedDir, rel)
+      Files.writeString(p, content)
+      Files.setLastModifiedTime(p, tick)
+    }
+    write("chunk=000000/a.ndjson", Seq(mut(1, "c1", 10L), mut(2, "c2", 11L)).mkString("", "\n", "\n"))
+    write("chunk=000000/b.ndjson", Seq(mut(3, "c3", 20L), mut(4, "c4", 21L)).mkString("", "\n", "\n"))
+    write(markerName(25L), "")
+
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      saltBuckets = 4, maxFilesPerTrigger = 1,
+      resolvedFromFilenames = true
+    )
+    loop.runAvailableNow()
+
+    // no orphaned rows: every mutation from BOTH same-tick files is applied
+    // under the one fence
+    assert(loop.committedFence == Hlc(25L, 0), s"got ${loop.committedFence}")
+    val state = table.read().select("path", "commit").as[(String, String)].collect().toMap
+    assert(state == Map("p1" -> "c1", "p2" -> "c2", "p3" -> "c3", "p4" -> "c4"))
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)

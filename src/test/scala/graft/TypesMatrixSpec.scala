@@ -207,11 +207,12 @@ class TypesMatrixSpec extends SparkSpec {
       val validated = ApplyPlanner.plan(spark, spec, ok, 4)
       val before = jobs.get()
       assert(plain.batch.count() == 3)
-      Thread.sleep(500) // let listener events drain
+      // deterministic drain — no fixed sleeps (they flake on loaded hosts)
+      org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(spark.sparkContext)
       val plainJobs = jobs.get() - before
       jobs.set(0)
       assert(validated.batch.count() == 3)
-      Thread.sleep(500)
+      org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(spark.sparkContext)
       assert(
         jobs.get() == plainJobs,
         s"validated count ran ${jobs.get()} jobs vs $plainJobs unvalidated"
@@ -252,6 +253,53 @@ class TypesMatrixSpec extends SparkSpec {
       .toMap
     assert(rows(1)._1 == BigDecimal(400) && rows(1)._2 == 9007199254740993L)
     assert(rows(2)._1 == BigDecimal("0.01") && rows(2)._2 == 1L)
+  }
+
+  test("type conflicts BEYOND the inference sample cap still widen (full-window guard)") {
+    // the bounded sample sees only ints for both drifting columns; the
+    // widening representations (a string, an exponent decimal) hide past
+    // the cap at the highest timestamps. Without the conflict guard they
+    // would null out at parse time; with it the schema widens exactly as
+    // unbounded inference would.
+    val spec = TableSpec(
+      StructType(Seq(StructField("pk", IntegerType))),
+      Seq("pk")
+    )
+    val n = ApplyPlanner.InferenceSampleRows + 200
+    val ints = spark
+      .range(n)
+      .selectExpr(
+        "concat('[', id, ']') as key",
+        """concat('{"pk":', id, ',"extra":', id % 7, ',"exp":1}') as data""",
+        "id + 10 as nanos",
+        "cast(0 as int) as logical",
+        "'f' as src_file"
+      )
+    val tail = Seq(
+      (
+        s"[${n + 1}]",
+        s"""{"pk":${n + 1},"extra":"surprise","exp":4E+2}""",
+        (n + 100).toLong,
+        0,
+        "f"
+      )
+    ).toDF("key", "data", "nanos", "logical", "src_file")
+    val planned = ApplyPlanner.plan(spark, spec, ints.unionByName(tail), 4)
+    assert(
+      planned.evolvedSchema("extra").dataType == StringType,
+      s"extra must widen to string, got ${planned.evolvedSchema("extra").dataType}"
+    )
+    assert(
+      planned.evolvedSchema("exp").dataType.isInstanceOf[DecimalType],
+      s"exp must widen to decimal, got ${planned.evolvedSchema("exp").dataType}"
+    )
+    val row = planned.batch.filter(col("pk") === n + 1).collect()(0)
+    assert(row.getAs[String]("extra") == "surprise")
+    assert(row.getAs[java.math.BigDecimal]("exp").longValue == 400L)
+    // the pre-cap rows parse under the widened types too
+    val first = planned.batch.filter(col("pk") === 3).collect()(0)
+    assert(first.getAs[String]("extra") == "3")
+    assert(first.getAs[java.math.BigDecimal]("exp").longValue == 1L)
   }
 
   test("evolved NESTED exponent decimals are sanitized: table stays readable after commit") {
