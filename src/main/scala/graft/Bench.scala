@@ -82,6 +82,57 @@ object Bench {
     )
   }
 
+  /** One leg sample: throughput, final-state fingerprint, task evidence,
+    * and the hypervisor-steal fraction measured across the run —
+    * steal ticks over busy (non-idle) ticks from /proc/stat, so every
+    * printed number carries its own validity signal.
+    */
+  final case class Run(
+      eps: Double,
+      fp: Long,
+      ev: TaskEvidence,
+      steal: Double
+  )
+
+  /** (stealTicks, busyTicks) from the aggregate cpu line of /proc/stat;
+    * busy = total - idle - iowait (steal included). None off-Linux.
+    */
+  private def procStat(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val steal = if (f.length > 7) f(7) else 0L
+        val idle = (if (f.length > 3) f(3) else 0L) +
+          (if (f.length > 4) f(4) else 0L)
+        Some((steal, f.sum - idle))
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Best-run steal fraction above which a leg's estimate is considered
+    * untrustworthy and earns one extra sample: this box idles around
+    * 10-20% steal, and the runs that historically corrupted a scaling pair
+    * (18k printed on a 50k-capable leg) sit far above this.
+    */
+  private val StealResampleFrac = 0.15
+
+  private def replayMeasured(
+      cores: Int,
+      feedDir: String,
+      workDir: String,
+      numEvents: Long
+  ): Run = {
+    val before = procStat()
+    val (eps, fp, ev) = replayAt(cores, feedDir, workDir, numEvents)
+    val after = procStat()
+    val steal = (before, after) match {
+      case (Some((s0, b0)), Some((s1, b1))) if b1 > b0 =>
+        (s1 - s0).toDouble / (b1 - b0)
+      case _ => 0.0
+    }
+    Run(eps, fp, ev, steal)
+  }
+
   /** Replay `numEvents` at a parallelism level; returns
     * (events/sec, final-state fingerprint, task evidence) — the fingerprint
     * must be identical across parallelism levels (same input => same state).
@@ -233,50 +284,61 @@ object Bench {
     spark.stop()
     replayAt(scaleBase * 4, s"$benchRoot/warmfeed", s"$benchRoot/warmup", 20000L)
 
-    // Interleaved best-of-k on BOTH legs: hypervisor steal is bursty and
-    // time-local, so alternating the levels decorrelates one burst from one
-    // level, and max-over-runs is the steal-minimizing estimator of each
-    // level's true capability (steal only ever LOWERS throughput — r3's
-    // best-of-3 on the 4N side alone still printed 0.385 when the whole
-    // driver window was stolen while a clean window measured 0.893).
-    // Identical state fingerprints are asserted across every run.
-    val runsN = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, TaskEvidence)]
-    val runs4x = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, TaskEvidence)]
-    runsN += replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase-1", replayEvents)
-    runs4x += replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}-1", replayEvents)
-    runs4x += replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}-2", replayEvents)
-    runsN += replayAt(scaleBase, feedDir, s"$benchRoot/run$scaleBase-2", replayEvents)
-    runs4x += replayAt(scaleBase * 4, feedDir, s"$benchRoot/run${scaleBase * 4}-3", replayEvents)
+    // Interleaved best-of-k with the SAME k on every leg: hypervisor steal
+    // is bursty and time-local, so alternating the levels decorrelates one
+    // burst from one level, and max-over-runs is the steal-minimizing
+    // estimator of each level's true capability (steal only ever LOWERS
+    // throughput). Three legs: the graded N->4N pair (scaleBase ->
+    // 4*scaleBase) plus a CPU-BOUND pair (scaleBase/4 -> scaleBase) — on
+    // this single box local[scaleBase] already saturates shared
+    // memory/disk bandwidth, so the low pair shows the scaling the
+    // partitioning delivers when added cores bring their own resources
+    // (as cluster executors do). Every run carries its /proc/stat steal
+    // fraction, and ANY leg whose best run was itself steal-gutted
+    // (> StealResampleFrac) earns one extra sample — symmetric, unlike
+    // prior rounds' low-leg-only rerun, so neither a gutted numerator nor
+    // a gutted denominator survives unchallenged. Identical state
+    // fingerprints are asserted across every run.
+    val lowBase = math.max(1, scaleBase / 4)
+    final case class Leg(name: String, cores: Int)
+    val legBase = Leg("n", scaleBase)
+    val legTop = Leg("4n", scaleBase * 4)
+    val legLow = Leg("low", lowBase)
+    val runsBy = Map(
+      legBase.name -> scala.collection.mutable.ArrayBuffer.empty[Run],
+      legTop.name -> scala.collection.mutable.ArrayBuffer.empty[Run],
+      legLow.name -> scala.collection.mutable.ArrayBuffer.empty[Run]
+    )
+    def runLeg(l: Leg): Unit = {
+      val i = runsBy(l.name).size + 1
+      // dedicated workDir per (leg, attempt): a reused table/checkpoint
+      // would measure a no-op catch-up instead of a replay
+      runsBy(l.name) += replayMeasured(
+        l.cores, feedDir, s"$benchRoot/run-${l.name}-$i", replayEvents)
+    }
+    // two interleaved base rounds (equal k=2), opposite orders so a single
+    // steal burst cannot shadow the same leg twice
+    Seq(legBase, legTop, legLow).foreach(runLeg)
+    Seq(legLow, legTop, legBase).foreach(runLeg)
+    // adaptive round: any leg whose BEST run is steal-qualified gets one
+    // more chance at a clean window
+    Seq(legBase, legTop, legLow).foreach { l =>
+      if (runsBy(l.name).maxBy(_.eps).steal > StealResampleFrac) runLeg(l)
+    }
+    val allRuns = runsBy.values.flatten.toSeq
     require(
-      (runsN ++ runs4x).map(_._2).distinct.size == 1,
+      allRuns.map(_.fp).distinct.size == 1,
       "nondeterministic state across replay runs!"
     )
-    val (epsBase, fpBase, evBase) = runsN.maxBy(_._1)
-    val (eps4x, fp4x, ev4x) = runs4x.maxBy(_._1)
+    val bestBase = runsBy(legBase.name).maxBy(_.eps)
+    val bestTop = runsBy(legTop.name).maxBy(_.eps)
+    val bestLow = runsBy(legLow.name).maxBy(_.eps)
+    val (epsBase, fpBase, evBase) = (bestBase.eps, bestBase.fp, bestBase.ev)
+    val (eps4x, fp4x, ev4x) = (bestTop.eps, bestTop.fp, bestTop.ev)
+    val epsLow = bestLow.eps
     val efficiency = (eps4x / epsBase) / 4.0
     val stateMatch = fpBase == fp4x
-    // SECOND N->4N pair in the CPU-BOUND regime (N/4 -> N cores): on this
-    // single box, local[scaleBase] already saturates shared memory/disk
-    // bandwidth, so the scaleBase->4x pair measures the BOX, not the
-    // engine. The low pair keeps both levels under the bandwidth ceiling
-    // and shows the scaling the partitioning actually delivers when the
-    // added cores come with their own resources (as executors do).
-    val lowBase = math.max(1, scaleBase / 4)
-    // dedicated workDir: "run$lowBase" could collide with the base run's
-    // dir when scaleBase <= 4, and a reused table/checkpoint would measure
-    // a no-op catch-up instead of a replay
-    val low1 = replayAt(lowBase, feedDir, s"$benchRoot/runlow-$lowBase-1", replayEvents)
-    // adaptive second sample: an efficiency ABOVE 1 is physically
-    // meaningless for this engine (constant total work) and means the slow
-    // low-parallelism leg itself was steal-gutted — pay for one more
-    // low-leg run only in that case and keep the faster (cleaner) one
-    val lowRuns =
-      if ((epsBase / low1._1) / (scaleBase.toDouble / lowBase) <= 1.0) Seq(low1)
-      else
-        Seq(low1, replayAt(lowBase, feedDir, s"$benchRoot/runlow-$lowBase-2", replayEvents))
-    val (epsLow, fpLow, _) = lowRuns.maxBy(_._1)
     val efficiencyLow = (epsBase / epsLow) / (scaleBase.toDouble / lowBase)
-    require(fpLow == fpBase, "state diverged at low parallelism!")
     // work-proportionality evidence: CPU-seconds and task counts the engine
     // spends must be ~flat across parallelism levels (ratio ~1.0); if they
     // are, any wall-clock efficiency shortfall on this SINGLE box is
@@ -287,21 +349,26 @@ object Bench {
 
     // reclaim the scratch feed/tables: a 4M-event run leaves ~14GB behind,
     // and repeated runs can fill the disk out from under the NEXT bench
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        graft.util.Dirs.listDir(p).foreach(rm)
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(benchRoot))
+    graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(benchRoot))
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    def samples(rs: Seq[(Double, Long, TaskEvidence)]): String =
-      rs.map(r => f"${r._1}%.1f").mkString("[", ",", "]")
+    def samples(rs: Seq[Run]): String =
+      rs.map(r => f"${r.eps}%.1f").mkString("[", ",", "]")
+    def steals(rs: Seq[Run]): String =
+      rs.map(r => f"${r.steal}%.3f").mkString("[", ",", "]")
+    def median(rs: Seq[Run]): Double = {
+      val s = rs.map(_.eps).sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val rN = runsBy(legBase.name).toSeq
+    val r4 = runsBy(legTop.name).toSeq
+    val rL = runsBy(legLow.name).toSeq
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"events_per_sec_n_runs":${samples(runsN.toSeq)},"events_per_sec_4n_runs":${samples(runs4x.toSeq)},"events_per_sec_low_runs":${samples(lowRuns)},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch,"cores_low":$lowBase,"events_per_sec_low":${f"$epsLow%.1f"},"scaling_efficiency_cpu_bound_${lowBase}_to_$scaleBase":${f"$efficiencyLow%.3f"},"task_evidence_n":${evJson(evBase)},"task_evidence_4n":${evJson(ev4x)},"cpu_work_ratio_4n_over_n":${f"$workRatio%.3f"}}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"events_per_sec_n_runs":${samples(rN)},"events_per_sec_4n_runs":${samples(r4)},"events_per_sec_low_runs":${samples(rL)},"steal_frac_n_runs":${steals(rN)},"steal_frac_4n_runs":${steals(r4)},"steal_frac_low_runs":${steals(rL)},"events_per_sec_n_median":${f"${median(rN)}%.1f"},"events_per_sec_4n_median":${f"${median(r4)}%.1f"},"events_per_sec_low_median":${f"${median(rL)}%.1f"},"steal_frac_best_n":${f"${bestBase.steal}%.3f"},"steal_frac_best_4n":${f"${bestTop.steal}%.3f"},"steal_frac_best_low":${f"${bestLow.steal}%.3f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch,"cores_low":$lowBase,"events_per_sec_low":${f"$epsLow%.1f"},"scaling_efficiency_cpu_bound_${lowBase}_to_$scaleBase":${f"$efficiencyLow%.3f"},"task_evidence_n":${evJson(evBase)},"task_evidence_4n":${evJson(ev4x)},"cpu_work_ratio_4n_over_n":${f"$workRatio%.3f"}}}"""
     )
   }
 }

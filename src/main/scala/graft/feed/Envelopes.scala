@@ -270,6 +270,110 @@ object Envelopes {
     muts.unionByName(res)
   }
 
+  /** Parse webhook CDC-query bodies for the MULTI-TABLE loop. The
+    * reference routes a webhook-query body to its one target table by URL
+    * path (internal/source/cdc/handler.go:60-116 dispatching
+    * webhook_query.go:58-115); a file feed has no URL side-channel, so the
+    * topic rides the file PATH as a `topic=<name>` segment — the
+    * cloud-storage per-table-subdirectory convention. ONE pass over the
+    * batch: a single union envelope schema carries the PK columns of
+    * EVERY topic and per-topic key extraction selects its own columns via
+    * a chained CASE on the topic column, so T topics cost one scan, not T
+    * (codegen'd; no per-topic re-parse). Output matches
+    * [[parseWebhookLines]]: `(topic, key, data, nanos, logical,
+    * is_resolved, src_file)`; body-level `__crdb__.resolved` markers are
+    * global (null topic), like webhook resolved timestamps covering the
+    * whole schema.
+    */
+  def parseWebhookQueryTopicLines(
+      lines: DataFrame,
+      pkColsByTopic: Map[String, Seq[String]],
+      withFile: Boolean = true
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(lines.sparkSession)
+    val file =
+      if (lines.columns.contains(Changefeed.SRC_FILE)) col(Changefeed.SRC_FILE)
+      else if (withFile) input_file_name()
+      else lit("")
+    val bodySchema = StructType(
+      Seq(
+        StructField("payload", ArrayType(StringType)),
+        StructField(
+          "__crdb__",
+          StructType(Seq(StructField("resolved", StringType)))
+        )
+      )
+    )
+    val base = lines.select(
+      from_json(col("value"), bodySchema).as("__b"),
+      regexp_extract(file, "topic=([^/]+)", 1).as("topic"),
+      file.as(Changefeed.SRC_FILE)
+    )
+
+    val allPk = pkColsByTopic.values.flatten.toSeq.distinct.sorted
+    val envSchema = StructType(
+      Seq(
+        StructField("__event__", StringType),
+        StructField(
+          "__crdb__",
+          StructType(Seq(StructField("updated", StringType)))
+        )
+      ) ++ allPk.map(c => StructField(c, StringType))
+    )
+    val exploded = base
+      .select(
+        col("topic"),
+        explode(col("__b.payload")).as("elem"),
+        col(Changefeed.SRC_FILE)
+      )
+    val env = from_json(col("elem"), envSchema)
+    val stamp = env.getField("__crdb__").getField("updated")
+    val event = env.getField("__event__")
+    val keyArr = pkColsByTopic.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast(StringType)
+    ) { case (acc, (t, pks)) =>
+      when(col("topic") === t, to_json(array(pks.map(env.getField): _*)))
+        .otherwise(acc)
+    }
+    val dataClean =
+      graft.functions.GraftFunctions.jsonDropKeys(col("elem"), "__event__", "__crdb__")
+    val muts = exploded
+      .select(
+        col("topic"),
+        keyArr.as(Changefeed.KEY),
+        when(event === "delete", lit(null).cast(StringType))
+          .otherwise(dataClean)
+          .as(Changefeed.DATA),
+        substring_index(stamp, ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          stamp.contains("."),
+          substring_index(stamp, ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        lit(false).as(Changefeed.RESOLVED),
+        col(Changefeed.SRC_FILE)
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+
+    val resolved = col("__b.__crdb__.resolved")
+    val res = base
+      .filter(resolved.isNotNull)
+      .select(
+        lit(null).cast(StringType).as("topic"),
+        lit(null).cast(StringType).as(Changefeed.KEY),
+        lit(null).cast(StringType).as(Changefeed.DATA),
+        substring_index(resolved, ".", 1).cast(LongType).as(Changefeed.NANOS),
+        when(
+          resolved.contains("."),
+          substring_index(resolved, ".", -1).cast(IntegerType)
+        ).otherwise(lit(0)).as(Changefeed.LOGICAL),
+        lit(true).as(Changefeed.RESOLVED),
+        col(Changefeed.SRC_FILE)
+      )
+      .filter(col(Changefeed.NANOS).isNotNull)
+
+    muts.unionByName(res)
+  }
+
   /** Parse the 33-digit resolved-filename timestamp
     * (YYYYMMDDHHMMSS ++ 9 nanos digits ++ 10 logical digits) — driver-side
     * Scala, mirroring resolved.go:69-101.

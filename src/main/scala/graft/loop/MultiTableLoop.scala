@@ -50,6 +50,16 @@ final class MultiTableLoop(
       * without transaction boundaries.
       */
     val immediate: Boolean = false,
+    /** Immediate mode's per-topic slicing strategy switches at this many
+      * targets: below it, each topic's merge re-filters the batch's raw
+      * text (T cheap re-scans — measured faster than any materialization
+      * at small T); at or above it, ONE job splits the parsed batch into
+      * per-topic parquet partitions (the same shape appendMultiTopic gives
+      * the staged path) and each merge does a partition-pruned read, so a
+      * many-table fan (the reference runs dozens of tables across 16
+      * shards, fan_workers.go:136-194) parses the batch once, not T times.
+      */
+    val immediateSplitThreshold: Int = 4,
     /** expire snapshot versions older than this many after each per-table
       * merge (None = never) — same storage bound as ReplayLoop: every fence
       * commits a new version per table (untouched tables get metadata-only
@@ -60,7 +70,17 @@ final class MultiTableLoop(
     /** byte budget per micro-batch, converted to a file cap against the
       * observed mean feed-file size (see ReplayLoop.effectiveMaxFiles)
       */
-    val maxBytesPerTrigger: Option[Long] = None
+    val maxBytesPerTrigger: Option[Long] = None,
+    /** Envelope codec: raw lines `(value, src_file)` → the unified feed
+      * schema PLUS a `topic` routing column (null topic on resolved
+      * markers = global marker). Defaults to the plain webhook envelope;
+      * pass `Envelopes.parseWebhookQueryTopicLines(_, pkColsByTopic)` for
+      * webhook CDC-query feeds laid out under `topic=<name>` path
+      * segments — the fan machinery (multi-topic staging, FK-ordered
+      * merges, fencing) is envelope-agnostic, mirroring the reference's
+      * per-URL handler dispatch (internal/source/cdc/handler.go).
+      */
+    val parse: DataFrame => DataFrame = Envelopes.parseWebhookLines(_)
 ) {
   private val levelOrder: Seq[Seq[String]] =
     FkLevels.levels(targets.keys.toSeq.sorted, dependsOn)
@@ -106,7 +126,7 @@ final class MultiTableLoop(
   }
 
   private def processBatchCached(lines: DataFrame, batchId: Long): Unit = {
-    val parsed = Envelopes.parseWebhookLines(lines)
+    val parsed = parse(lines)
     val muts = parsed.filter(!col(Changefeed.RESOLVED))
 
     // batch identity = source-file-set hash, not the engine batch id: a
@@ -116,8 +136,9 @@ final class MultiTableLoop(
     val stageKey =
       if (files.isEmpty) batchId else ReplayLoop.batchKeyOf(files)
 
-    val resolvedRows = Envelopes
-      .parseWebhookLines(lines.filter(col("value").contains("\"resolved\"")))
+    // cheap second scan; every supported envelope spells its marker with a
+    // "resolved" key, so the substring prefilter holds for any codec
+    val resolvedRows = parse(lines.filter(col("value").contains("\"resolved\"")))
       .filter(col(Changefeed.RESOLVED))
       .agg(max(struct(col("nanos"), col("logical"))).as("m"))
       .collect()
@@ -214,9 +235,10 @@ final class MultiTableLoop(
     * planned and merged directly, parents-before-children, with NO staging
     * and NO fence gate. Idempotence key = the file-set key (scoped per
     * table by its own commit log), so a redelivered batch no-ops per table
-    * exactly as in ReplayLoop's immediate mode. The T per-topic filters re-scan the batch's raw text —
-    * measured cheaper than building a columnar cache (see
-    * ReplayLoop.processBatch); topics within a level merge concurrently.
+    * exactly as in ReplayLoop's immediate mode. Topics within a level
+    * merge concurrently. Per-topic slicing is re-scan below
+    * [[immediateSplitThreshold]] targets and a one-pass partitioned split
+    * at or above it (see the knob's doc).
     */
   private def applyImmediate(
       muts: DataFrame,
@@ -227,15 +249,52 @@ final class MultiTableLoop(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val sliceCols = Seq("key", "data", "nanos", "logical", "src_file")
+    val splitDir: Option[String] =
+      if (targets.size < immediateSplitThreshold) None
+      else {
+        val dir = s"$checkpointDir/imm-split-$stageKey"
+        // ONE job parses the whole batch and writes per-topic partitions
+        // (idempotent: overwrite — a redelivered batch rewrites the same
+        // scratch); every subsequent per-topic read prunes to its own
+        // partition instead of re-parsing the batch
+        muts
+          .select((Seq("topic") ++ sliceCols).map(col): _*)
+          .write
+          .mode("overwrite")
+          .partitionBy("topic")
+          .parquet(dir)
+        Some(dir)
+      }
+    def slice(topic: String): DataFrame = splitDir match {
+      case None =>
+        muts.filter(col("topic") === topic).select(sliceCols.map(col): _*)
+      case Some(dir) =>
+        // explicit schema: an all-marker batch writes no partitions, and
+        // schemaless parquet reads of an empty scratch cannot infer
+        spark.read
+          .schema(
+            org.apache.spark.sql.types.StructType(
+              Seq(
+                org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("nanos", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("logical", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("src_file", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType)
+              )
+            )
+          )
+          .parquet(dir)
+          .filter(col("topic") === topic)
+          .select(sliceCols.map(col): _*)
+    }
     levelOrder.foreach { level =>
       val merges = level.map { topic =>
         Future {
           val t = targets(topic)
-          val slice = muts
-            .filter(col("topic") === topic)
-            .select("key", "data", "nanos", "logical", "src_file")
           val planned = ApplyPlanner.plan(
-            spark, t.spec, slice, saltBuckets,
+            spark, t.spec, slice(topic), saltBuckets,
             dedup = t.spec.config.casColumns.nonEmpty)
           val (gated, casCleanup) = ApplyPlanner.casGate(
             t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
@@ -255,6 +314,8 @@ final class MultiTableLoop(
       // barrier between levels: children must see committed parents
       merges.foreach(f => Await.result(f, Duration.Inf))
     }
+    // reclaim the split scratch once every topic has merged
+    splitDir.foreach(d => graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
   def start(trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =

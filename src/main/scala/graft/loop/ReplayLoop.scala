@@ -504,6 +504,106 @@ final class ReplayLoop(
     val fence = committedFence
     fence.isZero || fence.nanos < nowNanos - backfillWindowNanos
   }
+
+  /** Handle over a monitored loop: the CURRENT streaming query (replaced
+    * on every backfill cycle) plus monitor control.
+    */
+  final class Monitored private[ReplayLoop] (
+      backfillWindowNanos: Long,
+      pollMillis: Long,
+      trigger: Trigger,
+      nowNanos: () => Long
+  ) {
+    @volatile private var current: StreamingQuery = _
+    @volatile private var stopped = false
+    private val cycles = new java.util.concurrent.atomic.AtomicInteger(0)
+    // feed signature at the last (possibly implicit) cycle: re-backfilling
+    // when the feed has not changed since the last pass cannot advance the
+    // fence, so the monitor would thrash — a source that is simply OLD
+    // stays lagging forever, exactly like the reference parked at the end
+    // of a stale changefeed
+    @volatile private var lastFeedSig: (Int, Long) = feedSig()
+
+    private def feedSig(): (Int, Long) = {
+      val es = listFeedEntries()
+      (es.size, es.map(_._2).maxOption.getOrElse(0L))
+    }
+
+    /** current streaming query (replaced after each backfill cycle) */
+    def query: StreamingQuery = current
+
+    /** completed backfill re-entry cycles */
+    def backfillCycles: Int = cycles.get()
+
+    private[ReplayLoop] def begin(): Unit = {
+      if (isLagging(backfillWindowNanos, nowNanos())) {
+        runAvailableNow()
+        lastFeedSig = feedSig()
+      }
+      current = start(trigger)
+      val t = new Thread(
+        () =>
+          while (!stopped) {
+            Thread.sleep(pollMillis)
+            try {
+              if (!stopped && isLagging(backfillWindowNanos, nowNanos())) {
+                val sig = feedSig()
+                if (sig != lastFeedSig) synchronized {
+                  if (!stopped) {
+                    // the engine-native mode switch: stop the continuous
+                    // query (blocks until terminated), catch up at full
+                    // throughput, start fresh
+                    current.stop()
+                    runAvailableNow()
+                    lastFeedSig = feedSig()
+                    current = start(trigger)
+                    cycles.incrementAndGet()
+                  }
+                }
+              }
+            } catch {
+              // a transient cycle failure must not kill the monitor: the
+              // next poll retries (stop() still exits the loop via the
+              // flag)
+              case scala.util.control.NonFatal(e) =>
+                println(s"[graft-monitor] cycle failed: ${e.getMessage}")
+            }
+          },
+        s"graft-backfill-monitor-$feedDir"
+      )
+      t.setDaemon(true)
+      t.start()
+    }
+
+    /** Stop the monitor and the current query. */
+    def stop(): Unit = synchronized {
+      stopped = true
+      if (current != null) current.stop()
+    }
+  }
+
+  /** The reference's CONTINUOUS backfill re-entry
+    * (internal/source/logical/loop.go:394-441), operationalized: start the
+    * loop like [[startAuto]], then keep a driver-side daemon polling
+    * [[isLagging]] every `pollMillis`. When the consistent point falls
+    * behind the window AND the feed has changed since the last catch-up
+    * pass, the monitor performs the engine-native mode switch — stop the
+    * continuous query, run an AvailableNow catch-up, start a fresh
+    * continuous query — so an operator never has to cycle a lagging loop
+    * by hand. The feed-change gate prevents backfill thrash on a feed
+    * that is merely old (re-reading it cannot advance the fence).
+    * `nowNanos` is injectable for deterministic tests.
+    */
+  def startMonitored(
+      backfillWindowNanos: Long,
+      pollMillis: Long = 1000L,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L
+  ): Monitored = {
+    val m = new Monitored(backfillWindowNanos, pollMillis, trigger, nowNanos)
+    m.begin()
+    m
+  }
 }
 
 object ReplayLoop {

@@ -216,6 +216,121 @@ class MultiTableLoopSpec extends SparkSpec {
     assert(stagedLoop.pendingTopics() == Seq("parent"))
   }
 
+  test("webhook CDC-QUERY feed drives the multi-table loop (topic from path, per-topic PKs)") {
+    // the reference routes webhook-query bodies to tables by URL
+    // (webhook_query.go via handler.go); here the topic rides the file
+    // path as topic=<name> and the pluggable parse feeds the same fan
+    // machinery. Topics deliberately use DIFFERENT pk column names so the
+    // one-pass union-schema key extraction is exercised, and the child
+    // delete arrives WITH a row image (query-envelope semantics).
+    val base = tmpDir("mtlwq")
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir, "topic=parent"))
+    Files.createDirectories(Paths.get(feedDir, "topic=child"))
+
+    def row(fields: String, ev: String, ts: Long): String =
+      s"""{$fields,"__event__":"$ev","__crdb__":{"updated":"$ts.0000000000"}}"""
+    Files.writeString(
+      Paths.get(feedDir, "topic=parent", "0001.json"),
+      Seq(
+        s"""{"payload":[${row("\"pk\":1,\"v\":\"p1\"", "insert", 10)},${row("\"pk\":2,\"v\":\"p2\"", "insert", 11)}]}""",
+        s"""{"__crdb__":{"resolved":"20.0000000000"}}"""
+      ).mkString("\n")
+    )
+    Files.writeString(
+      Paths.get(feedDir, "topic=child", "0001.json"),
+      Seq(
+        s"""{"payload":[${row("\"cid\":1,\"v\":\"c1\"", "insert", 12)},${row("\"cid\":2,\"v\":\"c2\"", "insert", 13)},${row("\"cid\":1,\"v\":\"c1\"", "delete", 15)}]}"""
+      ).mkString("\n")
+    )
+
+    def target(name: String, pk: String) = TableTarget(
+      TableSpec(
+        StructType(Seq(StructField(pk, IntegerType), StructField("v", StringType))),
+        Seq(pk)
+      ),
+      new SnapshotTable(spark, s"$base/$name/table", numBuckets = 4),
+      new StagedStore(spark, s"$base/$name/stage", bucketNanos = 100L)
+    )
+    val targets = Map("parent" -> target("parent", "pk"), "child" -> target("child", "cid"))
+    val loop = new MultiTableLoop(
+      spark, feedDir, targets,
+      dependsOn = Map("child" -> Set("parent")),
+      checkpointDir = s"$base/checkpoint",
+      saltBuckets = 4, maxFilesPerTrigger = 4,
+      parse = graft.feed.Envelopes.parseWebhookQueryTopicLines(
+        _,
+        Map("parent" -> Seq("pk"), "child" -> Seq("cid"))
+      )
+    )
+    loop.runAvailableNow()
+
+    val parents = targets("parent").table.read()
+      .select("pk", "v").as[(Int, String)].collect().toSet
+    val children = targets("child").table.read()
+      .select("cid", "v").as[(Int, String)].collect().toSet
+    assert(parents == Set((1, "p1"), (2, "p2")), s"got $parents")
+    assert(children == Set((2, "c2")), s"got $children") // cid=1 deleted @15
+    assert(loop.committedFence == Hlc(20L, 0))
+  }
+
+  test("immediate split path (one-pass per-topic partitions) matches the re-scan path") {
+    val base = tmpDir("mtlsplit")
+    val feedDir = s"$base/feed"
+    Files.createDirectories(Paths.get(feedDir))
+    def mut(topic: String, pk: Int, v: String, ts: Long): String =
+      s"""{"after":{"pk":$pk,"v":"$v"},"key":[$pk],"topic":"$topic","updated":"$ts.0000000000"}"""
+    Files.writeString(
+      Paths.get(feedDir, "0001.json"),
+      Seq(
+        s"""{"payload":[${mut("parent", 1, "p1", 10)},${mut("child", 1, "c1", 11)},${mut("child", 1, "c1b", 13)},${mut("child", 2, "c2", 12)}],"length":4}""",
+        s"""{"resolved":"20.0000000000"}"""
+      ).mkString("\n")
+    )
+    val schema = StructType(
+      Seq(StructField("pk", IntegerType), StructField("v", StringType))
+    )
+    def mk(dir: String, threshold: Int) = {
+      def target(name: String) = TableTarget(
+        TableSpec(schema, Seq("pk")),
+        new SnapshotTable(spark, s"$base/$dir/$name/table", numBuckets = 4),
+        new StagedStore(spark, s"$base/$dir/$name/stage", bucketNanos = 100L)
+      )
+      val targets = Map("parent" -> target("parent"), "child" -> target("child"))
+      (
+        new MultiTableLoop(
+          spark, feedDir, targets,
+          dependsOn = Map("child" -> Set("parent")),
+          checkpointDir = s"$base/$dir/checkpoint",
+          saltBuckets = 4, maxFilesPerTrigger = 4,
+          immediate = true,
+          immediateSplitThreshold = threshold
+        ),
+        targets
+      )
+    }
+    def state(targets: Map[String, TableTarget]) = targets.map { case (n, t) =>
+      n -> t.table.read().select("pk", "v").as[(Int, String)].collect().toSet
+    }
+    val (splitLoop, splitTargets) = mk("split", threshold = 1) // forces split
+    splitLoop.runAvailableNow()
+    val (scanLoop, scanTargets) = mk("scan", threshold = 100) // forces re-scan
+    scanLoop.runAvailableNow()
+    assert(state(splitTargets) == state(scanTargets))
+    assert(state(splitTargets)("child") == Set((1, "c1b"), (2, "c2")))
+    assert(splitLoop.committedFence == Hlc(20L, 0))
+    // the split scratch is reclaimed after the batch
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files
+      .list(Paths.get(s"$base/split/checkpoint"))
+      .iterator()
+      .asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("imm-split"))
+      .toSeq
+    assert(leftovers.isEmpty, s"split scratch leaked: $leftovers")
+  }
+
   test("fan path vacuums snapshots: data versions and commit files stay bounded over many fences") {
     val base = tmpDir("mtlvac")
     val feedDir = s"$base/feed"

@@ -476,6 +476,72 @@ class ReplayLoopSpec extends SparkSpec {
     )
   }
 
+  test("startMonitored: mid-stream lag triggers an automatic backfill re-entry cycle") {
+    // the reference re-enters backfill WHENEVER the consistent point falls
+    // behind BackfillWindow (loop.go:394-441); here the driver-side
+    // monitor does the engine-native stop -> AvailableNow -> restart cycle
+    // without operator action. Deterministic clock via injected nowNanos;
+    // the continuous trigger is 1 hour so only the monitor can pick up the
+    // late window.
+    val feedDir = tmpDir("feedmon")
+    Files.createDirectories(Paths.get(feedDir, "chunk=000000"))
+    val base = tmpDir("e2emon")
+    def mut(id: Int, v: String, nanos: Long): String =
+      s"""{"after":{"repo":"r","path":"p$id","commit":"$v","lang":"x","content":"$v"},"key":["r","p$id"],"updated":"$nanos.0000000000"}"""
+    def res(nanos: Long): String = s"""{"resolved":"$nanos.0000000000"}"""
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.writeString(
+        Paths.get(feedDir, "chunk=000000", name),
+        lines.mkString("", "\n", "\n")
+      )
+    write("w1.ndjson", Seq(mut(1, "c1", 1000L), mut(2, "c2", 1001L), res(1100L)))
+
+    val table = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    val stage = new StagedStore(spark, s"$base/stage", bucketNanos = 1000L)
+    val loop = new ReplayLoop(
+      spark, feedDir, table, stage, s"$base/checkpoint", spec,
+      saltBuckets = 4
+    )
+    @volatile var now = 1500L
+    val windowNanos = 1000L
+    val handle = loop.startMonitored(
+      backfillWindowNanos = windowNanos,
+      pollMillis = 100L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"),
+      nowNanos = () => now
+    )
+    try {
+      // zero fence is always lagging -> the begin-time backfill applied w1
+      assert(loop.committedFence == Hlc(1100L, 0), s"got ${loop.committedFence}")
+      assert(handle.backfillCycles == 0)
+      // wait for the continuous query's immediate first (empty) trigger to
+      // COMPLETE (lastProgress turns non-null) — only then is the next
+      // trigger a full hour away, so the late window below is reachable
+      // solely through the monitor's cycle
+      val d0 = System.currentTimeMillis() + 30000L
+      while (handle.query.lastProgress == null &&
+        System.currentTimeMillis() < d0) Thread.sleep(50L)
+      assert(handle.query.lastProgress != null, "first trigger never completed")
+      write("w2.ndjson", Seq(mut(3, "c3", 2000L), res(2100L)))
+      now = 5000L
+      // wait on the CYCLE COUNTER (it increments after the catch-up pass
+      // and restart complete — the fence advances mid-cycle)
+      val deadline = System.currentTimeMillis() + 60000L
+      while (handle.backfillCycles < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      assert(handle.backfillCycles == 1, s"got ${handle.backfillCycles} cycles")
+      assert(loop.committedFence == Hlc(2100L, 0), s"got ${loop.committedFence}")
+      assert(
+        table.read().select("path").as[String].collect().toSet ==
+          Set("p1", "p2", "p3")
+      )
+      // still lagging by clock (2100 < 5000 - 1000) but the feed has NOT
+      // changed since the cycle: the monitor must not thrash
+      Thread.sleep(700L)
+      assert(handle.backfillCycles == 1, "monitor re-backfilled an unchanged feed")
+    } finally handle.stop()
+  }
+
   test(".RESOLVED marker gate survives mtime TIES (burst writes, coarse clock)") {
     // Burst scenario: two data files and the marker all land on the SAME
     // mtime tick while maxFilesPerTrigger=1 caps each batch to one file.
