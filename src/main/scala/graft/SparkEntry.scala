@@ -678,6 +678,30 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_media_decode" -> ((s, dir) => {
+      // REAL decode end-to-end, oracled: realMediaBlobs encodes actual
+      // PNG/WAV bytes executor-side whose decoded features are pure id
+      // arithmetic — DuckDB re-derives width/height/channels/mean level
+      // from id math without decoding anything, so a hash match proves the
+      // pure-JDK codec path genuinely decodes (it cannot echo the
+      // formulas: they never reach the executor, only the encoded bytes do)
+      val ids = pq(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      val blobs = MultiModalOps.realMediaBlobs(s, ids, "doc_id")
+      MultiModalOps
+        .extractFeatures(s, blobs, MultiModalOps.JdkCodec)
+        .toDF()
+        .select(
+          col("media_id"),
+          col("mime"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"),
+          col("mean_luma")
+        )
+        .sortSmall("media_id")
+    }),
     "q_replay_e2e" -> ((s, dir) => {
       // whole-engine smoke inside the harness: generate a small changefeed,
       // run the staged replay loop, return the final per-repo state
@@ -1201,6 +1225,14 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+        |       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 ELSE 800 + (doc_id % 5) * 160 END AS width,
+        |       CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id // 16) % 16 ELSE 8000 END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + (doc_id // 2) % 2 END AS channels,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) ELSE CAST(doc_id % 16384 AS DOUBLE) / 32768 END AS mean_luma
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
     // custom-hash-family queries (simhash / winnowing / hyperplane LSH):
     // DuckDB cannot recompute the hashes, but the corpus is deterministic at
     // the verification scale, so the outputs are constants — pinned exactly

@@ -396,15 +396,28 @@ object DedupOps {
     * the fraction. No driver-side state; ~|text| rows per document in
     * flight, the same budget the decontamination probe pays.
     * Documents shorter than k score 0.
+    *
+    * `sampleMod` is the 100 TB scale valve: with the default 1 every gram
+    * position shuffles (~16 B per character of corpus — exact, the oracle
+    * setting); with m > 1 only grams whose hash ≡ 0 (mod m) survive the
+    * explode, shrinking the shuffle by ~m. The selection is
+    * CONTENT-DEFINED (Manber'94 / Broder's MOD-p fingerprint sampling):
+    * both copies of a shared span select the SAME grams regardless of
+    * alignment, so a duplicated span of length L ≥ k is still observed
+    * with probability 1-(1-1/m)^(L-k+1) — near 1 for the long spans the
+    * operator targets — and the returned fraction becomes an unbiased
+    * estimate over the ~1/m sampled positions (numerator and denominator
+    * are both restricted to the selected grams).
     */
   def dupSpanFracMicro(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      k: Int = 50
+      k: Int = 50,
+      sampleMod: Int = 1
   ): DataFrame = {
     val t = col(textCol)
-    val grams = df
+    val gramsAll = df
       .filter(length(t) >= k)
       .select(
         col(idCol).as("id"),
@@ -415,6 +428,10 @@ object DedupOps {
           )
         ).as("g")
       )
+    // pre-shuffle filter: unselected grams never leave the map side
+    val grams =
+      if (sampleMod <= 1) gramsAll
+      else gramsAll.filter(pmod(col("g"), lit(sampleMod.toLong)) === 0)
     val stats = grams.groupBy("g").agg(countDistinct("id").as("nd"))
     val perDoc = grams
       .join(stats, "g")

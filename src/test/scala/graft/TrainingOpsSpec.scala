@@ -529,6 +529,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L) == out(2L))
   }
 
+  test("duplicated-span fraction: MOD-sampled valve still detects shared spans (alignment-free)") {
+    // content-defined sampling: the duplicated span sits at DIFFERENT
+    // offsets in its two holders, so positional striding would miss it,
+    // but hash-mod selection picks identical grams in both copies. A long
+    // span (hundreds of grams) is selected w.p. ~1 even at mod 4.
+    val shared = (0 until 40).map(i => s"chunk$i-payload ").mkString // ~600 chars
+    val rows = Seq(
+      (1L, shared + ("A" * 120)),
+      (2L, ("B" * 77) + shared), // different alignment
+      (3L, "the quick brown fox jumps over the lazy dog " * 16) // unique-ish
+    ).toDF("doc_id", "text")
+    val sampled = DedupOps
+      .dupSpanFracMicro(rows, "text", "doc_id", k = 50, sampleMod = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(sampled(1L) > 500000L, s"got ${sampled(1L)}") // span dominates doc 1
+    assert(sampled(2L) > 500000L, s"got ${sampled(2L)}")
+    // doc 3 repeats its own sentence internally but shares nothing with
+    // OTHER docs; the metric counts cross-document holders only
+    assert(sampled(3L) == 0L, s"got ${sampled(3L)}")
+    // the exact (mod=1) run agrees on the qualitative signal
+    val exact = DedupOps
+      .dupSpanFracMicro(rows, "text", "doc_id", k = 50)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(exact(1L) > 500000L && exact(2L) > 500000L && exact(3L) == 0L)
+  }
+
   test("mixture planner: budget-hitting fractions, caps, omissions, subset property") {
     val d = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 600L), // en total 1000
@@ -687,5 +717,38 @@ class TrainingOpsSpec extends SparkSpec {
     // frame sampling plan fans out deterministically
     val plan = MultiModalOps.frameSamplePlan(blobs, framesPerDoc = 4)
     assert(plan.count() == 400)
+  }
+
+  test("multimodal: REAL PNG/WAV decode (pure-JDK codec) recovers planted parameters") {
+    // realMediaBlobs encodes actual PNG (javax.imageio) and WAV
+    // (javax.sound.sampled) bytes whose decoded features are pure id
+    // arithmetic; JdkCodec must recover them exactly — including the
+    // stereo WAV (id/2 odd) and the double-exact mean levels
+    val ids = spark.range(0, 40).toDF("media_id")
+    val blobs = MultiModalOps.realMediaBlobs(spark, ids, "media_id")
+    val feats = MultiModalOps
+      .extractFeatures(spark, blobs, MultiModalOps.JdkCodec)
+      .collect()
+      .map(f => f.media_id -> f)
+      .toMap
+    assert(feats.size == 40)
+    (0L until 40L).foreach { id =>
+      val f = feats(id)
+      if (id % 2 == 0) {
+        assert(f.mime == "image/png")
+        assert(f.width == 8 + (id % 16).toInt, s"id=$id width=${f.width}")
+        assert(f.height == 8 + ((id / 16) % 16).toInt)
+        assert(f.channels == 3)
+        assert(f.mean_luma == (id % 256).toDouble, s"id=$id luma=${f.mean_luma}")
+      } else {
+        assert(f.mime == "audio/wav")
+        assert(f.width == 800 + (id % 5).toInt * 160, s"id=$id frames=${f.width}")
+        assert(f.height == 8000)
+        assert(f.channels == 1 + ((id / 2) % 2).toInt, s"id=$id ch=${f.channels}")
+        assert(f.mean_luma == (id % 16384).toDouble / 32768.0)
+      }
+      // real encodings vary in size with content; they are not echoes
+      assert(f.byte_len > 0)
+    }
   }
 }
