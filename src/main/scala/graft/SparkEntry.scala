@@ -678,6 +678,69 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // contiguous sequence packing over the documents corpus: 512-token
+      // windows in doc_id order. The two-pass parallel prefix sum is
+      // FORCED through 8 range partitions so the test proves the
+      // distributed cumsum (per-partition windows + broadcast prefix
+      // offsets), not a single-partition global window; the oracle
+      // re-derives the same assignment with one global window cumsum.
+      val d = pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("toks")
+        )
+      SampleOps
+        .packSequences(d, "doc_id", "toks", seqLen = 512L, numPartitions = 8)
+        .select(
+          col("id").as("doc_id"),
+          col("toks"),
+          col("seq_id"),
+          col("tok_offset")
+        )
+        .sortSmall("doc_id")
+    }),
+    "q_version_diff" -> ((s, dir) => {
+      // CDC back OUT of the lake table: build a 2-version snapshot table
+      // from deterministic orders slices (v1 = keys with pk%3!=0; v2 adds
+      // upserts pk%5==0 at a newer HLC and deletes pk%7==0 at the newest),
+      // then read changesBetween(v1, v2). The oracle re-derives every
+      // insert/update/delete row straight from the same slices — the
+      // engine's manifest-diff + HLC classification must agree exactly.
+      import graft.table.SnapshotTable
+      val base = java.nio.file.Files.createTempDirectory("graft-vdiff").toString
+      val t = new SnapshotTable(s, s"$base/table", numBuckets = 8)
+      val orders = pq(s, dir, "orders")
+        .select(
+          col("o_orderkey").cast(LongType).as("pk"),
+          col("o_totalprice").cast("double").as("price")
+        )
+      def stamp(df: DataFrame, nanos: Long, deleted: Boolean): DataFrame = df
+        .withColumn(SnapshotTable.NANOS, lit(nanos))
+        .withColumn(SnapshotTable.LOGICAL, lit(0))
+        .withColumn(SnapshotTable.DELETED, lit(deleted))
+      t.merge(
+        stamp(orders.filter(col("pk") % 3 =!= 0), 1L, deleted = false),
+        Seq("pk"), idempotenceKey = "v1", resolved = graft.model.Hlc(1, 0))
+      val ups = stamp(
+        orders.filter(col("pk") % 5 === 0).withColumn("price", col("price") + 1000),
+        2L, deleted = false)
+      val dels = stamp(
+        orders
+          .filter(col("pk") % 7 === 0)
+          .withColumn("price", lit(null).cast("double")),
+        3L, deleted = true)
+      t.merge(
+        ups.unionByName(dels),
+        Seq("pk"), idempotenceKey = "v2", resolved = graft.model.Hlc(3, 0))
+      val out = t
+        .changesBetween(1L, 2L)
+        .select(col("pk"), col("price"), col("change_type"))
+        .sortSmall("pk")
+        .localCheckpoint(true)
+      graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(base))
+      out
+    }),
     "q_media_decode" -> ((s, dir) => {
       // REAL decode end-to-end, oracled: realMediaBlobs encodes actual
       // PNG/WAV bytes executor-side whose decoded features are pure id
@@ -1225,6 +1288,37 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM t
+        |)
+        |SELECT doc_id, toks, cb // 512 AS seq_id, cb % 512 AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_version_diff" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS pk, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |), v1 AS (
+        |  SELECT pk, price FROM base WHERE pk % 3 <> 0
+        |), up AS (
+        |  SELECT pk, price + 1000 AS price FROM base WHERE pk % 5 = 0
+        |), del AS (
+        |  SELECT pk FROM base WHERE pk % 7 = 0
+        |)
+        |SELECT pk, price, change_type FROM (
+        |  SELECT v1.pk AS pk, v1.price AS price, 'delete' AS change_type
+        |  FROM v1 JOIN del ON v1.pk = del.pk
+        |  UNION ALL
+        |  SELECT u.pk AS pk, u.price AS price,
+        |         CASE WHEN v1.pk IS NULL THEN 'insert' ELSE 'update' END AS change_type
+        |  FROM up u LEFT JOIN v1 ON v1.pk = u.pk
+        |  WHERE u.pk NOT IN (SELECT pk FROM del)
+        |) ORDER BY pk""".stripMargin,
     "q_media_decode" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,

@@ -66,6 +66,86 @@ object SampleOps {
     }
   }
 
+  /** Contiguous sequence packing — the "concatenate the corpus in a
+    * deterministic order, then chunk into fixed-length token windows" step
+    * of LLM pretraining data assembly. Every document is assigned the
+    * window (`seq_id`) its first token lands in plus its offset inside
+    * that window; documents straddle window boundaries exactly as the
+    * concatenated stream does, and consumers slice accordingly. Output:
+    * `(id, toks, seq_id, tok_offset)`, deterministic (the order is the
+    * sort on `idCol` — no RNG, no partition-order dependence).
+    *
+    * Scale shape: the naive formulation — `SUM(toks) OVER (ORDER BY id)`
+    * — funnels the whole corpus through ONE partition. This is the
+    * classic two-pass parallel prefix sum instead: range-partition by id,
+    * per-partition ordered cumsum (window PARTITIONED BY the physical
+    * partition, fully parallel), per-partition totals collected to the
+    * driver (O(partitions) rows) and broadcast back as prefix offsets.
+    * No single-partition stage anywhere; correctness is independent of
+    * where the range boundaries land, so the range sampler's boundary
+    * choice cannot change the output.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      seqLen: Long,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .select(col(idCol).cast("long").as("id"), col(tokCol).cast("long").as("toks"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+      .withColumn("__part", org.apache.spark.sql.functions.spark_partition_id())
+    // pass 1: per-partition totals -> driver-side exclusive prefix
+    // (bounded: one row per partition)
+    val totals = ranged
+      .groupBy("__part")
+      .agg(sum("toks").as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    // pass 2: within-partition exclusive cumsum + broadcast prefix join
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("__part")
+      .orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixDf = spark.createDataFrame(exclusivePrefix(totals)).toDF("__part", "__prefix")
+    ranged
+      .join(broadcast(prefixDf), Seq("__part"))
+      .withColumn(
+        "__cum_before",
+        coalesce(sum(col("toks")).over(w), lit(0L)) + col("__prefix")
+      )
+      .select(
+        col("id"),
+        col("toks"),
+        // integer DIV, not `/`: long / long is a DOUBLE in Spark SQL and
+        // loses exactness past 2^53 — corpus token counts get there
+        expr(s"__cum_before DIV $seqLen").as("seq_id"),
+        pmod(col("__cum_before"), lit(seqLen)).as("tok_offset")
+      )
+  }
+
+  /** Exclusive prefix sum of per-partition totals, keyed by partition id
+    * (missing/empty partitions contribute 0).
+    */
+  private def exclusivePrefix(totals: Map[Int, Long]): Seq[(Int, Long)] = {
+    val ids = totals.keys.toSeq.sorted
+    var acc = 0L
+    ids.map { p =>
+      val out = (p, acc)
+      acc += totals(p)
+      out
+    }
+  }
+
   def stratifiedHashSample(
       df: DataFrame,
       idCol: String,

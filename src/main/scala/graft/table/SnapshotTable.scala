@@ -96,25 +96,30 @@ final class SnapshotTable(
     * proportional to delta-bearing data instead of turning every read into
     * a full-table shuffle the moment ANY bucket holds a delta.
     */
-  def readCurrent(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    val meta = log.latest()
+  def readCurrent(onlyBuckets: Option[Set[Int]] = None): DataFrame =
+    readCurrentAt(log.latest(), onlyBuckets)
+
+  private def readCurrentAt(
+      meta: Option[CommitMeta],
+      onlyBuckets: Option[Set[Int]]
+  ): DataFrame = {
     val pks = meta.map(m => Option(m.pkCols).getOrElse(Nil)).getOrElse(Nil)
     val deltaBuckets: Set[Int] =
       deltasOf(meta).filter(_._2.nonEmpty).keys.map(_.toInt).toSet
     val dirty: Set[Int] = deltaBuckets.filter(b => onlyBuckets.forall(_.contains(b)))
-    if (dirty.isEmpty || pks.isEmpty) readRaw(onlyBuckets)
+    if (dirty.isEmpty || pks.isEmpty) readRawAt(meta, onlyBuckets)
     else {
       val allBuckets: Set[Int] =
         meta.map(_.buckets.keys.map(_.toInt).toSet).getOrElse(Set.empty) ++ deltaBuckets
       val clean = allBuckets.filter(b => onlyBuckets.forall(_.contains(b))) -- dirty
-      val raw = readRaw(Some(dirty))
+      val raw = readRawAt(meta, Some(dirty))
       val hlcTuple = struct(col(NANOS), col(LOGICAL))
       val folded = raw
         .groupBy(pks.map(col): _*)
         .agg(max_by(struct(raw.columns.map(col): _*), hlcTuple).as("__row"))
         .select(raw.columns.map(c => col(s"__row.`$c`").as(c)): _*)
       if (clean.isEmpty) folded
-      else readRaw(Some(clean)).unionByName(folded)
+      else readRawAt(meta, Some(clean)).unionByName(folded)
     }
   }
 
@@ -122,8 +127,108 @@ final class SnapshotTable(
     * optionally restricted to a set of buckets (path-level pruning: only
     * those buckets' base + delta files are read).
     */
-  def readRaw(onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    log.latest() match {
+  def readRaw(onlyBuckets: Option[Set[Int]] = None): DataFrame =
+    readRawAt(log.latest(), onlyBuckets)
+
+  /** Visible rows as of a historical committed version — time travel.
+    * Requires the version's commit file and referenced data dirs to still
+    * be inside the vacuum window (`vacuumKeepVersions`); vacuumed versions
+    * throw.
+    */
+  def readAt(version: Long): DataFrame = {
+    val meta = metaAtOrThrow(version)
+    readCurrentAt(Some(meta), None)
+      .filter(!col(DELETED))
+      .drop(META_COLS: _*)
+  }
+
+  private def metaAtOrThrow(version: Long): CommitMeta =
+    log.tryRead(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version is not available for $root (never committed, or vacuumed)"
+      )
+    )
+
+  /** Buckets whose contents can differ between two commit metas: the base
+    * dir moved or the delta list changed. A key's row can only change if
+    * its bucket was rewritten — untouched buckets are carried forward by
+    * manifest REFERENCE, so identical references prove identical contents.
+    */
+  private[graft] def changedBuckets(from: CommitMeta, to: CommitMeta): Set[Int] = {
+    val ids = from.buckets.keySet ++ to.buckets.keySet ++
+      deltasOf(Some(from)).keySet ++ deltasOf(Some(to)).keySet
+    ids.filter { b =>
+      from.buckets.get(b) != to.buckets.get(b) ||
+      deltasOf(Some(from)).getOrElse(b, Nil) != deltasOf(Some(to)).getOrElse(b, Nil)
+    }.map(_.toInt)
+  }
+
+  /** Change rows between two committed versions — CDC back OUT of the
+    * lake table (the Iceberg changelog-scan analog; downstream consumers
+    * read increments instead of diffing snapshots). Returns one row per
+    * key whose visible state differs between `vFrom` and `vTo`, with a
+    * `change_type` column:
+    *   - `insert`: absent (or tombstoned) at vFrom, live at vTo — row
+    *     image from vTo;
+    *   - `update`: live at both with a different HLC — row image from
+    *     vTo;
+    *   - `delete`: live at vFrom, tombstoned/absent at vTo — row image
+    *     from vFrom (the deleted values).
+    *
+    * Scale shape: bucket-pruned BEFORE any read — a key can only change
+    * if its bucket's base dir or delta list changed between the two
+    * manifests ([[changedBuckets]]), so unchanged buckets are never read,
+    * never joined. The full-outer join then shuffles only the changed
+    * buckets' rows on the pk; cost is proportional to rewritten data, not
+    * table size. HLC equality (not value comparison) detects unchanged
+    * keys inside rewritten buckets — the table is an LWW register, so the
+    * HLC IS the row version.
+    */
+  def changesBetween(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom <= vTo, s"vFrom $vFrom must be <= vTo $vTo")
+    val mFrom = metaAtOrThrow(vFrom)
+    val mTo = metaAtOrThrow(vTo)
+    val pks = Option(mTo.pkCols).getOrElse(Nil)
+    require(pks.nonEmpty, "changesBetween needs a primary-keyed table")
+    val changed = changedBuckets(mFrom, mTo)
+    val payloadCols = StructType.fromDDL(mTo.schemaDdl).fieldNames.toSeq
+      .filterNot(pks.contains)
+    val from = readCurrentAt(Some(mFrom), Some(changed))
+    val to = readCurrentAt(Some(mTo), Some(changed))
+    // a column added by schema evolution after vFrom is absent on the
+    // from side: surface it as null (what the old version's rows held)
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val have = df.columns.toSet
+      df.select(
+        pks.map(col) ++ (payloadCols ++ META_COLS).map(c =>
+          (if (have.contains(c)) col(c) else lit(null)).as(s"__${tag}_$c")
+        ): _*
+      )
+    }
+    val j = side(from, "f").join(side(to, "t"), pks, "full_outer")
+    val fLive = col(s"__f_$NANOS").isNotNull && !col(s"__f_$DELETED")
+    val tLive = col(s"__t_$NANOS").isNotNull && !col(s"__t_$DELETED")
+    val sameHlc = col(s"__f_$NANOS") === col(s"__t_$NANOS") &&
+      col(s"__f_$LOGICAL") === col(s"__t_$LOGICAL")
+    val changeType = when(!fLive && tLive, "insert")
+      .when(fLive && !tLive, "delete")
+      .when(fLive && tLive && !sameHlc, "update")
+    j.withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(
+        pks.map(col) ++ payloadCols.map(c =>
+          when(col("change_type") === "delete", col(s"__f_$c"))
+            .otherwise(col(s"__t_$c"))
+            .as(c)
+        ) :+ col("change_type"): _*
+      )
+  }
+
+  private def readRawAt(
+      metaOpt: Option[CommitMeta],
+      onlyBuckets: Option[Set[Int]]
+  ): DataFrame = {
+    metaOpt match {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

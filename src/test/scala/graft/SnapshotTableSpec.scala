@@ -374,4 +374,52 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(checked > 0, "no multi-row file was checked")
   }
+
+  test("time travel + changesBetween: manifest-diff CDC-out with HLC classification") {
+    val t = new SnapshotTable(spark, tmpDir("vdiff"), numBuckets = 4)
+    val b1 = batch(
+      (1 to 8).map(i => ("r", s"p$i", s"v1-$i", 10L, 0, false))
+    )
+    t.merge(b1, pk, "v1", Hlc(10, 0))
+    // v2: update p2 (newer HLC, new value + an EVOLVED column), insert
+    // p20, delete p3; p1/p4..p8 untouched — some share rewritten buckets
+    // and must be classified unchanged via HLC equality
+    val b2 = Seq(
+      ("r", "p2", "v2-2", "x2", 20L, 0, false),
+      ("r", "p20", "v2-20", "x20", 20L, 0, false),
+      ("r", "p3", null, null, 20L, 0, true)
+    ).toDF("repo", "path", "content", "extra", "__hlc_nanos", "__hlc_logical", "__deleted")
+    t.merge(b2, pk, "v2", Hlc(20, 0))
+
+    // time travel: v1 state is intact behind the latest version
+    assert(t.readAt(1).count() == 8)
+    val at1 = t.readAt(1).select("path", "content").as[(String, String)].collect().toMap
+    assert(at1("p2") == "v1-2" && at1.contains("p3"))
+    assert(t.readAt(2).count() == 8) // 8 - 1 delete + 1 insert
+
+    val changes = t
+      .changesBetween(1, 2)
+      .select("path", "content", "extra", "change_type")
+      .as[(String, String, String, String)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(changes.size == 3, s"got $changes")
+    assert(changes("p2") == (("p2", "v2-2", "x2", "update")))
+    assert(changes("p20") == (("p20", "v2-20", "x20", "insert")))
+    // delete carries the FROM-side image; the evolved column did not
+    // exist at v1, so it surfaces null
+    assert(changes("p3") == (("p3", "v1-3", null, "delete")))
+
+    // same-version diff is empty without reading anything
+    assert(t.changesBetween(2, 2).count() == 0)
+
+    // vacuumed versions throw instead of silently reading wrong state
+    t.merge(
+      Seq(("r", "p9", "v3-9", "x9", 30L, 0, false))
+        .toDF("repo", "path", "content", "extra", "__hlc_nanos", "__hlc_logical", "__deleted"),
+      pk, "v3", Hlc(30, 0))
+    t.vacuum(1)
+    intercept[IllegalArgumentException](t.readAt(1))
+  }
 }

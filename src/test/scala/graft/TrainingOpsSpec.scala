@@ -559,6 +559,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(exact(1L) > 500000L && exact(2L) > 500000L && exact(3L) == 0L)
   }
 
+  test("sequence packing: distributed two-pass prefix sum equals the global cumsum") {
+    val n = 500
+    val docs = (0 until n)
+      .map(i => (i.toLong, 1L + (i * 37 % 90)))
+      .toDF("doc_id", "toks")
+    // 7 range partitions: the per-partition cumsum + broadcast prefix path
+    // must reproduce the single sequential scan exactly
+    val packed = SampleOps
+      .packSequences(docs, "doc_id", "toks", seqLen = 128L, numPartitions = 7)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(packed.size == n)
+    var cum = 0L
+    (0 until n).foreach { i =>
+      val toks = 1L + (i * 37 % 90)
+      val (t, seq, off) = packed(i.toLong)
+      assert(t == toks)
+      assert(seq == cum / 128, s"doc $i: seq $seq vs ${cum / 128}")
+      assert(off == cum % 128, s"doc $i: off $off vs ${cum % 128}")
+      cum += toks
+    }
+    // single-partition run agrees (partitioning cannot change the answer)
+    val single = SampleOps
+      .packSequences(docs, "doc_id", "toks", seqLen = 128L, numPartitions = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(single == packed)
+  }
+
   test("mixture planner: budget-hitting fractions, caps, omissions, subset property") {
     val d = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 600L), // en total 1000
