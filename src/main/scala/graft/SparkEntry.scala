@@ -678,6 +678,18 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_vocab" -> ((s, dir) => {
+      // vocabulary construction: corpus token frequencies with a
+      // min-count floor — one explode + one map-side-combining groupBy
+      // (the canonical wordcount shape; partial aggregation bounds the
+      // shuffle by the VOCABULARY size, not the corpus size)
+      val d = pq(s, dir, "documents")
+      d.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 10)
+        .sortSmall("tok")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // contiguous sequence packing over the documents corpus: 512-token
       // windows in doc_id order. The two-pass parallel prefix sum is
@@ -1288,6 +1300,10 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_vocab" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents)
+        |GROUP BY tok HAVING COUNT(*) >= 10 ORDER BY tok""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

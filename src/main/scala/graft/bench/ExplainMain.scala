@@ -113,6 +113,28 @@ object ExplainMain {
         .explain("formatted")
     }
 
+    // changesBetween: manifest-diff bucket pruning — the second merge
+    // touches ONE key, so only its bucket's files appear in the diff
+    // plan's scans (unchanged buckets are proven identical by manifest
+    // reference and never read)
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-explain-vdiff")
+        .toString
+      val t = new graft.table.SnapshotTable(spark, root, numBuckets = 8)
+      val base = (0 until 64)
+        .map(i => (s"r$i", "p", "v1", 10L, 0, false))
+        .toDF("repo", "path", "content", "__hlc_nanos", "__hlc_logical", "__deleted")
+      t.merge(base, Seq("repo", "path"), "k1", Hlc(10, 0))
+      t.merge(
+        Seq(("r1", "p", "v2", 20L, 0, false))
+          .toDF("repo", "path", "content", "__hlc_nanos", "__hlc_logical", "__deleted"),
+        Seq("repo", "path"), "k2", Hlc(20, 0))
+      println("=== SnapshotTable.changesBetween(1, 2) " +
+        "(expect scans over the ONE rewritten bucket only) ===")
+      t.changesBetween(1, 2).explain("formatted")
+    }
+
     spark.stop()
   }
 }
