@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.applyops.{ApplyPlanner, TableSpec}
 import graft.dedup.LastWriterWins
 import graft.functions.GraftFunctions
-import graft.ops.{DedupOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, JoinOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — one query per implemented operator family (SURVEY.md
   * §2), each SQL-expressible one paired with equivalent DuckDB oracle SQL
@@ -678,6 +678,53 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // AS-OF join (union + keyed-window composition — no custom plan
+      // needed): each click picks up the latest prior-or-equal view by
+      // the same user; DuckDB's native ASOF LEFT JOIN is the oracle
+      val ev = pq(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id").as("view_id"),
+          col("value")
+        )
+      JoinOps
+        .asofJoin(clicks, views, Seq("user_id"), "ts", Seq("view_id", "value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("asof_view_id"),
+          col("asof_value")
+        )
+        .sortSmall("event_id")
+    }),
+    "q_range_agg" -> ((s, dir) => {
+      // RANGE-join aggregate via a keyed RANGE window over the unioned
+      // timeline (one shuffle, no per-pair explosion): views by the same
+      // user in the hour before each click, counted and summed in cents
+      // (FLOOR(x*100+0.5) on both engines — IEEE-exact)
+      val ev = pq(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("user_id"),
+          col("ts"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("cents")
+        )
+      JoinOps
+        .rangeJoinAgg(clicks, views, Seq("user_id"), "ts", "cents", lookbackSecs = 3600L)
+        .select(col("event_id"), col("user_id"), col("range_count"), col("range_sum"))
+        .sortSmall("event_id")
+    }),
     "q_vocab" -> ((s, dir) => {
       // vocabulary construction: corpus token frequencies with a
       // min-count floor — one explode + one map-side-combining groupBy
@@ -1300,6 +1347,21 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS asof_view_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_range_agg" ->
+      """SELECT l.event_id, l.user_id,
+        |  CAST((SELECT COUNT(*) FROM events r
+        |        WHERE r.event_type = 'view' AND r.user_id = l.user_id
+        |          AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts) AS BIGINT) AS range_count,
+        |  CAST((SELECT COALESCE(SUM(CAST(FLOOR(r.value * 100 + 0.5) AS BIGINT)), 0) FROM events r
+        |        WHERE r.event_type = 'view' AND r.user_id = l.user_id
+        |          AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts) AS BIGINT) AS range_sum
+        |FROM events l WHERE l.event_type = 'click' ORDER BY l.event_id""".stripMargin,
     "q_vocab" ->
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents)

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from existing
+  * operators per the build brief's preference order (compose > custom
+  * plan): as-of joins via the union + keyed-window trick — no custom
+  * strategy needed, and the plan stays whole-stage-codegen'd.
+  */
+object JoinOps {
+
+  /** AS-OF join: each left row picks up the payload of the LATEST right
+    * row with the same key and `timeCol` at-or-before its own (the
+    * standard time-series enrichment join; DuckDB/kdb `ASOF JOIN`,
+    * pandas `merge_asof`).
+    *
+    * Shape: tag both sides, union (right payload travels as one struct,
+    * null on left rows), then one window per key ordered by
+    * `(time, side)` — right rows sort BEFORE left rows at equal time, so
+    * the match is inclusive — and `last(payload, ignoreNulls)` over the
+    * running frame delivers the as-of row. Left rows with no prior right
+    * row get nulls (LEFT as-of semantics).
+    *
+    * Scale shape: ONE shuffle on the key (the union is shuffle-free), and
+    * the window is PARTITIONED BY KEY — parallelism = distinct keys, no
+    * global sort, no single-partition stage. This is the merge-join plan
+    * a native as-of operator would pick, expressed with built-ins; a
+    * right side small enough to broadcast could instead use a broadcast
+    * range lookup, but the union form wins whenever both sides are big
+    * (the 100 TB case). Right-side rows sharing an exact (key, time) are
+    * tie-broken by their order in the running frame — callers wanting a
+    * deterministic pick should ensure (key, time) uniqueness or add a
+    * tiebreak column to `timeCol`'s ordering upstream.
+    *
+    * @param rightPayload right columns to surface, prefixed `asof_`
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val rp = struct(rightPayload.map(col): _*)
+    val r2 = right
+      .select((keyCols :+ timeCol).map(col) :+ rp.as("__rp"): _*)
+      .withColumn("__side", lit(0))
+    val l2 = left.withColumn("__side", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) ++
+          rightPayload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*
+      )
+  }
+
+  /** RANGE join aggregate: for each left row, aggregate right rows of the
+    * same key whose `timeCol` falls in `[left.time - lookbackExpr,
+    * left.time]` — the windowed-count/sum companion of [[asofJoin]]
+    * (e.g. "events by this user in the last hour"). Same union + keyed
+    * running-window shape: a `RANGE BETWEEN interval PRECEDING` frame
+    * over the unioned timeline, so there is still exactly one shuffle
+    * and no per-pair join explosion (a naive theta-join would be
+    * |left| x |right| per key).
+    *
+    * @param valueCol right column to aggregate (count + sum emitted as
+    *                 `range_count` / `range_sum`)
+    * @param lookbackSecs window length in seconds ([t - lookback, t],
+    *                     inclusive both ends)
+    */
+  def rangeJoinAgg(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      lookbackSecs: Long
+  ): DataFrame = {
+    val r2 = right
+      .select((keyCols :+ timeCol).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val l2 = left.withColumn("__side", lit(1))
+    val u = l2
+      .unionByName(r2, allowMissingColumns = true)
+      // NTZ timestamps cannot cast straight to double; hop through LTZ
+      // (session tz is UTC everywhere in this engine) — only relative
+      // differences feed the RANGE frame, so the hop is semantics-free
+      .withColumn("__tsec", col(timeCol).cast("timestamp").cast("double"))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__tsec"))
+      .rangeBetween(-lookbackSecs, 0)
+    u.withColumn("range_count", count(col("__rv")).over(w))
+      .withColumn("range_sum", sum(col("__rv")).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) :+ col("range_count") :+
+          coalesce(col("range_sum"), lit(0L)).as("range_sum"): _*
+      )
+  }
+}
