@@ -678,6 +678,33 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (session_window — Spark's native
+      // merging-session operator, state-store-backed when streaming):
+      // per-user sessions split at >30-minute gaps. The oracle re-derives
+      // sessions the classic SQL way (LAG gap flags -> running sum ->
+      // group), so the native operator's merge semantics are pinned to
+      // first principles.
+      val ev = pq(s, dir, "events")
+      ev.groupBy(
+          session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id")
+        )
+        .agg(
+          count(lit(1)).as("n_events"),
+          // per-EVENT cents conversion before the sum: long addition is
+          // associative, so the total is order-independent across engines
+          // (a double sum would be at the mercy of accumulation order)
+          sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("value_cents")
+        )
+        .select(
+          col("user_id"),
+          col("w.start").as("sess_start"),
+          col("n_events"),
+          col("value_cents")
+        )
+        .sortSmall("user_id", "sess_start")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // AS-OF join (union + keyed-window composition — no custom plan
       // needed): each click picks up the latest prior-or-equal view by
@@ -1347,6 +1374,22 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(ts) AS sess_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS asof_view_id, r.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
