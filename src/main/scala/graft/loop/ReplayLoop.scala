@@ -537,8 +537,13 @@ final class ReplayLoop(
 
     private[ReplayLoop] def begin(): Unit = {
       if (isLagging(backfillWindowNanos, nowNanos())) {
-        runAvailableNow()
+        // record the signature BEFORE the pass: a file landing while the
+        // pass runs may be listed yet undelivered, and must leave the
+        // post-pass signature UNEQUAL so the next poll cycles again — a
+        // post-pass snapshot would swallow it (an extra cycle for a file
+        // the pass did deliver is merely an idempotent no-op)
         lastFeedSig = feedSig()
+        runAvailableNow()
       }
       current = start(trigger)
       val t = new Thread(
@@ -552,10 +557,12 @@ final class ReplayLoop(
                   if (!stopped) {
                     // the engine-native mode switch: stop the continuous
                     // query (blocks until terminated), catch up at full
-                    // throughput, start fresh
+                    // throughput, start fresh. The PRE-pass signature is
+                    // recorded (see begin()): files racing in during the
+                    // pass re-arm the monitor instead of being swallowed
+                    lastFeedSig = sig
                     current.stop()
                     runAvailableNow()
-                    lastFeedSig = feedSig()
                     current = start(trigger)
                     cycles.incrementAndGet()
                   }

@@ -327,4 +327,71 @@ class ChaosSweepSpec extends SparkSpec {
       assert(finalLoop.committedFence == cleanLoop.committedFence)
     }
   }
+
+  test("monitor chaos: random waves absorbed by automatic backfill re-entry cycles") {
+    // the startMonitored daemon is the only thing moving data here (the
+    // continuous trigger is an hour, the clock is pinned deep in the past
+    // so the loop is ALWAYS lagging): each random wave of chunks must be
+    // detected via the feed-change signature and absorbed by one
+    // stop -> AvailableNow -> restart cycle, and every schedule must land
+    // on the clean run's exact state
+    val master = tmpDir("monchaos-master")
+    Generator.writeFeed(spark, fs, master, parallelism = 4)
+    val chunks: Seq[Path] = Files
+      .list(Paths.get(master))
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.startsWith("chunk="))
+      .toSeq
+      .sortBy(_.getFileName.toString)
+
+    val cleanBase = tmpDir("monchaos-clean")
+    val (cleanLoop, cleanTable) = newLoop(master, cleanBase)
+    cleanLoop.runAvailableNow()
+    val want = state(cleanTable)
+    assert(want.nonEmpty)
+
+    Seq(5L, 13L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = tmpDir(s"monchaos-$seed")
+      val feedDir = s"$base/feed"
+      Files.createDirectories(Paths.get(feedDir))
+      val (loop, table) = newLoop(feedDir, base)
+      val handle = loop.startMonitored(
+        backfillWindowNanos = 1L,
+        pollMillis = 100L,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"),
+        nowNanos = () => Long.MaxValue / 2 // always lagging
+      )
+      try {
+        // random waves of 1-3 chunks, in order
+        var remaining = chunks
+        var waves = 0
+        while (remaining.nonEmpty) {
+          val n = 1 + rnd.nextInt(3)
+          val (wave, rest) = remaining.splitAt(n)
+          remaining = rest
+          val c0 = handle.backfillCycles
+          wave.foreach(c =>
+            copyDir(c, Paths.get(feedDir, c.getFileName.toString)))
+          val deadline = System.currentTimeMillis() + 120000L
+          while (handle.backfillCycles <= c0 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(100L)
+          assert(
+            handle.backfillCycles > c0,
+            s"seed $seed: monitor never cycled for wave $waves"
+          )
+          waves += 1
+        }
+        // straggler tolerance: cycles keep firing while signatures differ;
+        // wait for the terminal state, then require schedule-independence
+        val deadline = System.currentTimeMillis() + 120000L
+        while (state(table) != want &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250L)
+        assert(state(table) == want, s"seed $seed diverged")
+        assert(handle.backfillCycles >= waves)
+        assert(loop.committedFence == cleanLoop.committedFence)
+      } finally handle.stop()
+    }
+  }
 }
