@@ -81,9 +81,13 @@ object SampleOps {
     * per-partition ordered cumsum (window PARTITIONED BY the physical
     * partition, fully parallel), per-partition totals collected to the
     * driver (O(partitions) rows) and broadcast back as prefix offsets.
-    * No single-partition stage anywhere; correctness is independent of
-    * where the range boundaries land, so the range sampler's boundary
-    * choice cannot change the output.
+    * No single-partition stage anywhere. The two passes execute the same
+    * range-partitioned subtree twice; that is sound because Spark's range
+    * partitioning is DETERMINISTIC for a given input (stage retries
+    * require it), so both passes see identical boundaries and the prefix
+    * offsets line up — and the OUTPUT is additionally boundary-agnostic
+    * (any monotone id split yields the same global cumsum), which the
+    * multi-partition == single-partition spec pins.
     */
   def packSequences(
       df: DataFrame,
