@@ -893,7 +893,10 @@ object SparkEntry {
         maxFilesPerTrigger = 2
       )
       loop.runAvailableNow()
-      table
+      // materialize the (7-row) result eagerly, then reclaim the whole
+      // work tree — a lazily-returned plan would pin (and leak) the temp
+      // feed/table/stage per invocation
+      val out = table
         .read()
         .groupBy(col("repo"))
         .agg(
@@ -901,6 +904,9 @@ object SparkEntry {
           expr("bit_xor(xxhash64(repo, path, sha2(content, 256)))").as("state_fp")
         )
         .sortSmall("repo")
+        .localCheckpoint(true)
+      graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(base))
+      out
     }),
     "q_multitable_e2e" -> ((s, dir) => {
       // whole multi-table engine smoke: a deterministic webhook feed with
@@ -957,7 +963,9 @@ object SparkEntry {
         maxFilesPerTrigger = 1
       )
       loop.runAvailableNow()
-      targets.toSeq
+      // materialize the (2-row) result eagerly, then reclaim the work
+      // tree (same leak pattern as q_replay_e2e / q_knn_ivf_indexed)
+      val out = targets.toSeq
         .map { case (name, t) =>
           t.table
             .read()
@@ -969,6 +977,9 @@ object SparkEntry {
         }
         .reduce(_.unionByName(_))
         .sortSmall("tbl")
+        .localCheckpoint(true)
+      graft.util.Dirs.deleteRecursively(java.nio.file.Paths.get(base))
+      out
     })
   )
 
