@@ -678,6 +678,23 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_chunk_docs" -> ((s, dir) => {
+      // context-window chunk plan: 120-token windows with stride 90 (25%
+      // overlap), offsets only — the text slice happens downstream so the
+      // huge text column is never duplicated per chunk. Pure map-side
+      // fan-out; the oracle re-derives every chunk from token counts.
+      val d = pq(s, dir, "documents")
+      TextOps
+        .chunkPlan(d, "text", "doc_id", chunkTokens = 120, stride = 90)
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast(LongType).as("chunk_id"),
+          col("tok_begin").cast(LongType).as("tok_begin"),
+          col("tok_end").cast(LongType).as("tok_end"),
+          col("n_chunks").cast(LongType).as("n_chunks")
+        )
+        .sortSmall("doc_id", "chunk_id")
+    }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization (session_window — Spark's native
       // merging-session operator, state-store-backed when streaming):
@@ -1385,6 +1402,23 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n <= 0 THEN 0 WHEN n <= 120 THEN 1
+        |              ELSE CAST(ceil((n - 120) / 90.0) AS INT) + 1 END AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, n, n_chunks, unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM c WHERE n_chunks > 0
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 90 AS BIGINT) AS tok_begin,
+        |       CAST(LEAST(chunk_id * 90 + 120, n) AS BIGINT) AS tok_end,
+        |       CAST(n_chunks AS BIGINT) AS n_chunks
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "q_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,

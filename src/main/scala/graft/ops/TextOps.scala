@@ -17,6 +17,63 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Overlapping-chunk plan for context-window training: one row per
+    * (document, chunk), where chunk i covers token offsets
+    * `[i*stride, min(i*stride + chunkTokens, n))` and chunks are laid out
+    * until every token is covered — the standard chunk-with-stride split
+    * of long documents into model windows (stride < chunkTokens overlaps
+    * consecutive chunks by `chunkTokens - stride` tokens). Documents
+    * shorter than one window still produce exactly one chunk; empty
+    * documents produce none. Pure per-row column math (`sequence` +
+    * `explode`), no shuffle — at corpus scale the fan-out is
+    * tokens/stride rows per document, decided entirely map-side.
+    *
+    * Output: input columns of `df` (minus the text) + `(chunk_id,
+    * tok_begin, tok_end, n_chunks)`. The TEXT slice itself is a
+    * downstream `slice(tokens(text), ...)` when needed; the plan carries
+    * offsets so the (typically huge) text column is not duplicated per
+    * chunk.
+    */
+  def chunkPlan(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      stride: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens)
+    val n = tokenCount(col(textCol))
+    // number of chunks: smallest c with (c-1)*stride + chunkTokens >= n,
+    // i.e. ceil((n - chunkTokens) / stride) + 1, floored at 1 for any
+    // non-empty doc; ceil via integer arithmetic (token counts are far
+    // below 2^53, so the double division is exact)
+    val nChunks = when(n <= 0, 0)
+      .when(n <= chunkTokens, 1)
+      .otherwise(
+        floor((n - chunkTokens + stride - 1) / lit(stride)).cast("int") + 1
+      )
+    df.select(
+        col(idCol),
+        n.as("__n"),
+        nChunks.as("n_chunks")
+      )
+      .filter(col("n_chunks") > 0)
+      .select(
+        col(idCol),
+        col("__n"),
+        col("n_chunks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id")
+      )
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_begin"),
+        least(col("chunk_id") * stride + chunkTokens, col("__n")).as("tok_end"),
+        col("n_chunks")
+      )
+  }
+
+
   /** BPE-ish subword count: word pieces, numbers, and punctuation runs
     * counted separately (a cheap stand-in for a real tokenizer's token
     * count; the regex mirrors the GPT-2 pre-tokenizer's shape).

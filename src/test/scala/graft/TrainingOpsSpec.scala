@@ -559,6 +559,50 @@ class TrainingOpsSpec extends SparkSpec {
     assert(exact(1L) > 500000L && exact(2L) > 500000L && exact(3L) == 0L)
   }
 
+  test("chunk plan: full coverage with overlap, short and empty edges") {
+    val rows = Seq(
+      (1L, (1 to 250).map(i => s"w$i").mkString(" ")), // 3 chunks
+      (2L, (1 to 120).map(i => s"w$i").mkString(" ")), // exactly one window
+      (3L, "a b c"), // shorter than a window -> one chunk
+      (4L, "") // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps
+      .chunkPlan(rows, "text", "doc_id", chunkTokens = 120, stride = 90)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(
+      got == Set(
+        (1L, 0, 0, 120, 3),
+        (1L, 1, 90, 210, 3),
+        (1L, 2, 180, 250, 3), // final chunk clipped at n, still reaches n
+        (2L, 0, 0, 120, 1),
+        (3L, 0, 0, 3, 1)
+      ),
+      s"got $got"
+    )
+    // coverage property on a sweep of lengths: every token of every doc
+    // falls in at least one chunk, and the last chunk ends exactly at n
+    val sweep = (1 to 40)
+      .map(n => (n.toLong, (1 to n * 7).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps
+      .chunkPlan(sweep, "text", "doc_id", chunkTokens = 50, stride = 35)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    (1 to 40).foreach { d =>
+      val n = d * 7
+      val spans = chunks(d.toLong).map(c => (c._2, c._3)).sortBy(_._1)
+      assert(spans.head._1 == 0 && spans.last._2 == n, s"doc $d: $spans")
+      spans.sliding(2).foreach {
+        case Array((_, e1), (b2, _)) =>
+          assert(b2 <= e1, s"doc $d: gap between chunks")
+        case _ => ()
+      }
+    }
+  }
+
   test("sequence packing: distributed two-pass prefix sum equals the global cumsum") {
     val n = 500
     val docs = (0 until n)
