@@ -229,13 +229,23 @@ object DedupOps {
       array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
         .as("sh")
     )
+    val na = size(col("sh_a"))
+    val nb = size(col("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      // size-ratio gate BEFORE any set work: |A∩B| <= min(|A|,|B|), so
+      // J >= t forces min >= t * (|A|+|B|) / (1+t) — a pair failing that
+      // on SIZES alone can never verify, and sizes are O(1) reads while
+      // the intersect is O(|A|+|B|) hashing
+      .filter(least(na, nb) * (1 + threshold) >= (na + nb) * threshold)
       .withColumn(
+        // |A∪B| = |A| + |B| - |A∩B| (both arrays are distinct): one set
+        // build instead of two — array_union would re-hash both arrays a
+        // second time for a size we already know
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))
+        inter.cast("double") / (na + nb - inter)
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
