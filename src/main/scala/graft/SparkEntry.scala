@@ -678,6 +678,27 @@ object SparkEntry {
         )
         .sortSmall("media_id")
     }),
+    "q_source_report" -> ((s, dir) => {
+      // per-source curation report — the dashboard cut a corpus owner
+      // reads per ingestion source: doc count, token total, EXACT integer
+      // mean quality (sum DIV count — no float mean drift), and the
+      // Gopher-gate pass count. One map-side-combining aggregation.
+      val d = pq(s, dir, "documents")
+      d.select(
+          col("source"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("toks"),
+          TextOps.qualityScoreMicros(col("text")).cast(LongType).as("q"),
+          TextOps.gopherPass(col("text")).cast(LongType).as("gp")
+        )
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("toks").as("total_toks"),
+          expr("sum(q) DIV count(1)").as("mean_quality_micro"),
+          sum("gp").as("gopher_pass")
+        )
+        .sortSmall("source")
+    }),
     "q_chunk_docs" -> ((s, dir) => {
       // context-window chunk plan: 120-token windows with stride 90 (25%
       // overlap), offsets only — the text slice happens downstream so the
@@ -1402,6 +1423,36 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |       CAST(128 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_source_report" ->
+      s"""WITH ${qualitySqlCtes("documents", ", source")},
+        |w AS (
+        |  SELECT doc_id, text AS t,
+        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws,
+        |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN len(ws) < 1 THEN 0 ELSE CAST(FLOOR(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) * 1000000 + 0.5) AS BIGINT) END AS mean_wlen_micro,
+        |         CAST(FLOOR(CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / greatest(len(ws), 1) * 1000000 + 0.5) AS BIGINT) AS symbol_micro,
+        |         CASE WHEN len(ls) < 1 THEN 0 ELSE CAST(FLOOR(CAST(len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS DOUBLE) / len(ls) * 1000000 + 0.5) AS BIGINT) END AS bullet_micro,
+        |         CASE WHEN len(ls) < 2 THEN 0 ELSE CAST(FLOOR((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000 + 0.5) AS BIGINT) END AS dup_line_micro
+        |  FROM w
+        |), gp AS (
+        |  SELECT doc_id, len(ws) AS ntoks,
+        |         CASE WHEN len(ws) BETWEEN 50 AND 100000
+        |               AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+        |               AND symbol_micro <= 100000
+        |               AND bullet_micro <= 900000
+        |               AND dup_line_micro <= 300000 THEN 1 ELSE 0 END AS pass
+        |  FROM m
+        |)
+        |SELECT qg.source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(gp.ntoks) AS BIGINT) AS total_toks,
+        |       CAST(SUM(qg.quality_micro) AS BIGINT) // COUNT(*) AS mean_quality_micro,
+        |       CAST(SUM(gp.pass) AS BIGINT) AS gopher_pass
+        |FROM qg JOIN gp USING (doc_id)
+        |GROUP BY qg.source ORDER BY qg.source""".stripMargin,
     "q_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n FROM documents
