@@ -1474,7 +1474,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |), s AS (

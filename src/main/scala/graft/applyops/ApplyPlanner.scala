@@ -236,11 +236,26 @@ object ApplyPlanner {
       // represent it); only the flagged columns pay a full-window
       // re-inference. String-typed columns can represent anything, so the
       // common case is guard-passes-no-fallback.
-      val guarded = unknown
+      // Container-typed (struct/array/map) drift columns skip the probe and
+      // ALWAYS take the full-window re-inference below: from_json parses
+      // them PARTIALLY — a struct payload with a new nested key still
+      // yields a non-null struct (the new key silently dropped), an
+      // array<long> given a string element yields [null] — so the
+      // "typed parse nulls it" signal can never fire for them, and the
+      // sampled container shape would be committed with nested fields
+      // missing. Scalars keep the cheap probe (null-on-unrepresentable is
+      // exact there).
+      def isContainer(dt: DataType): Boolean = dt match {
+        case _: StructType | _: ArrayType | _: MapType => true
+        case _                                         => false
+      }
+      val allGuarded = unknown
         .flatMap(n => inferredSampled.fields.find(_.name == n))
         .filterNot(_.dataType == StringType)
         .map(f => f.copy(dataType = sanitize(f.dataType)))
-      val conflicted: Seq[String] =
+      val (containerGuarded, guarded) =
+        allGuarded.partition(f => isContainer(f.dataType))
+      val probedConflicts: Seq[String] =
         if (guarded.isEmpty) Nil
         else {
           val probe = from_json(col("data"), StructType(guarded))
@@ -261,6 +276,8 @@ object ApplyPlanner {
             case (f, i) if !row.isNullAt(i) && row.getInt(i) == 1 => f.name
           }
         }
+      val conflicted: Seq[String] =
+        containerGuarded.map(_.name) ++ probedConflicts
       val inferred =
         if (conflicted.isEmpty) inferredSampled
         else {

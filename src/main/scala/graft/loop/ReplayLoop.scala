@@ -557,13 +557,19 @@ final class ReplayLoop(
                   if (!stopped) {
                     // the engine-native mode switch: stop the continuous
                     // query (blocks until terminated), catch up at full
-                    // throughput, start fresh. The PRE-pass signature is
-                    // recorded (see begin()): files racing in during the
-                    // pass re-arm the monitor instead of being swallowed
-                    lastFeedSig = sig
+                    // throughput, start fresh. `sig` was read BEFORE the
+                    // pass (files racing in during the pass re-arm the
+                    // monitor instead of being swallowed), but it is
+                    // COMMITTED only after the whole cycle succeeds: a
+                    // cycle that throws mid-way leaves lastFeedSig at its
+                    // old value, so the next poll still sees a changed
+                    // feed and retries the cycle (stop() on an already-
+                    // terminated query is a no-op, the catch-up pass is
+                    // idempotent)
                     current.stop()
                     runAvailableNow()
                     current = start(trigger)
+                    lastFeedSig = sig
                     cycles.incrementAndGet()
                   }
                 }
@@ -574,6 +580,22 @@ final class ReplayLoop(
               // flag)
               case scala.util.control.NonFatal(e) =>
                 println(s"[graft-monitor] cycle failed: ${e.getMessage}")
+            }
+            // liveness guard, independent of the feed signature: a cycle
+            // that failed between stop() and start(), or a query killed by
+            // its own stream exception, must not leave the loop down until
+            // the feed happens to change — restart the continuous query
+            // whenever none is running (bounded to one attempt per poll)
+            try {
+              if (!stopped) synchronized {
+                if (!stopped && (current == null || !current.isActive)) {
+                  current = start(trigger)
+                  println("[graft-monitor] restarted inactive query")
+                }
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                println(s"[graft-monitor] restart failed: ${e.getMessage}")
             }
           },
         s"graft-backfill-monitor-$feedDir"

@@ -97,7 +97,10 @@ object JoinOps {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__tsec"))
       .rangeBetween(-lookbackSecs, 0)
-    u.withColumn("range_count", count(col("__rv")).over(w))
+    // Count by SIDE marker, not the value column: "right rows in range"
+    // must include right rows whose value is null (count(__rv) would
+    // silently skip them and diverge from the COUNT(*) oracle).
+    u.withColumn("range_count", count(when(col("__side") === 0, lit(1))).over(w))
       .withColumn("range_sum", sum(col("__rv")).over(w))
       .filter(col("__side") === 1)
       .select(

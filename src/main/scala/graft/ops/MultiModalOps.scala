@@ -96,7 +96,21 @@ object MultiModalOps {
     * sums folded to double at the end).
     */
   object JdkCodec extends MediaCodec {
+
+    /** Total by construction: a malformed/truncated blob (ImageIO
+      * IIOException, AudioSystem UnsupportedAudioFileException, or the
+      * non-16-bit-PCM require below) must DEGRADE to the fallback
+      * features, not fail the whole Spark task — one bad blob in a
+      * 100 TB corpus is data, not an error.
+      */
     override def decode(
+        mime: String,
+        blob: Array[Byte]
+    ): MediaFeatures.PartialFeatures =
+      try decodeStrict(mime, blob)
+      catch { case scala.util.control.NonFatal(_) => FakeCodec.decode(mime, blob) }
+
+    private def decodeStrict(
         mime: String,
         blob: Array[Byte]
     ): MediaFeatures.PartialFeatures = mime match {

@@ -287,25 +287,48 @@ final class SnapshotTable(
     * means an old version dir can still serve CURRENT buckets.
     * Returns the number of data directories removed.
     */
-  def vacuum(keepVersions: Int = 2): Int = {
+  def vacuum(keepVersions: Int = 2, orphanGraceMillis: Long = 3600000L): Int = {
     require(keepVersions >= 1)
     val versions = log.listVersions()
     if (versions.size <= keepVersions) return 0
     val keep = versions.takeRight(keepVersions)
-    val referenced: Set[String] = keep
-      .map(log.read)
+    def dirsOf(vs: Seq[Long]): Set[String] = vs
+      .flatMap(log.tryRead)
       .flatMap { m =>
         val baseDirs = m.buckets.values
         val deltaDirs = deltasOf(Some(m)).values.flatten
         (baseDirs ++ deltaDirs).map(_.split("/").take(2).mkString("/"))
       }
-      .toSet // e.g. "data/v00000003"
+      .toSet // e.g. "data/v00000003-1a2b3c4d"
+    val referenced = dirsOf(keep)
+    // dirs referenced ONLY by superseded commits were published once — no
+    // writer is mid-write in them — so they reap immediately; a dir no
+    // commit has EVER referenced is either a crashed writer's leftover or a
+    // CONCURRENT writer's in-flight attempt (data is written before the
+    // commit rename), told apart conservatively: never reap above the
+    // committed head, and below it only past a grace period
+    val everReferenced = dirsOf(versions)
     val dataRoot = java.nio.file.Paths.get(root, "data")
     if (!java.nio.file.Files.exists(dataRoot)) return 0
     var removed = 0
+    val latestVersion = versions.last
+    val nowMs = System.currentTimeMillis()
     SnapshotTable.listDir(dataRoot).foreach { d =>
       val rel = s"data/${d.getFileName}"
-      if (!referenced.contains(rel)) {
+      val name = d.getFileName.toString
+      val vDigits =
+        if (name.startsWith("v")) name.drop(1).takeWhile(_.isDigit) else ""
+      val orphanReapable =
+        vDigits.nonEmpty && vDigits.toLong <= latestVersion &&
+          (try
+            java.nio.file.Files
+              .getLastModifiedTime(d)
+              .toMillis < nowMs - orphanGraceMillis
+          catch { case _: java.io.IOException => false })
+      if (
+        !referenced.contains(rel) &&
+        (everReferenced.contains(rel) || orphanReapable)
+      ) {
         deleteRecursively(d)
         removed += 1
       }
@@ -370,6 +393,23 @@ final class SnapshotTable(
     *
     * Returns the committed version, or None when `idempotenceKey` was
     * already committed (replay no-op).
+    *
+    * Concurrency: publication is decided by the commit log's atomic
+    * rename, so two writers racing on one table serialize there — the
+    * Spark stand-in for the reference's lease-serialized appliers
+    * (internal/staging/leases/leases.go:355-371). A SAME-KEY race (two
+    * loop instances replaying one batch — the HA restart overlap) makes
+    * the loser a no-op (`None`): the failed rename invalidates the key
+    * cache, so the re-check sees the winner's key even across instances.
+    * A DIFFERENT-KEY race (two independent batches) makes the loser
+    * RE-RUN the whole merge against the new head — optimistic
+    * concurrency, the protocol an Iceberg commit uses. The re-run is
+    * correct under any interleaving because the table is an LWW register:
+    * re-folding the loser's batch against the winner's committed state
+    * converges to the same rows as any serial order. Each attempt writes
+    * to its OWN uniquely-suffixed data directory, so a doomed attempt can
+    * never clobber the winner's files; orphaned attempt dirs are reclaimed
+    * by [[vacuum]].
     */
   def merge(
       batch: DataFrame,
@@ -382,9 +422,35 @@ final class SnapshotTable(
         */
       extraMetrics: Map[String, Long] = Map.empty
   ): Option[CommitMeta] = {
-    if (log.contains(idempotenceKey)) return None
+    val maxAttempts = 5
+    var attempt = 1
+    while (true) {
+      try
+        return mergeOnce(batch, pkCols, idempotenceKey, resolved, lineage, extraMetrics)
+      catch {
+        case _: SnapshotTable.CommitConflict if attempt < maxAttempts =>
+          // lost the version race to a different key: re-read the head and
+          // recompute (the next attempt folds against the winner's state)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
+  private def mergeOnce(
+      batch: DataFrame,
+      pkCols: Seq[String],
+      idempotenceKey: String,
+      resolved: Hlc,
+      lineage: Seq[String],
+      extraMetrics: Map[String, Long]
+  ): Option[CommitMeta] = {
+    // head FIRST, idempotence check second (see CommitLog.contains): a
+    // foreign same-key commit landing between the two is at/below the
+    // version this attempt targets, so the commit rename collides and the
+    // post-failure re-check no-ops — never a double apply
     val prev = log.latest()
+    if (log.contains(idempotenceKey)) return None
     val prevSchema = prev.map(m => StructType.fromDDL(m.schemaDdl))
     val batchPayload = StructType(
       batch.schema.fields.filterNot(f => META_COL_SET.contains(f.name))
@@ -438,7 +504,11 @@ final class SnapshotTable(
         lineage = lineage,
         committedAtMs = System.currentTimeMillis()
       )
-      return if (log.commit(meta)) Some(meta) else None
+      return {
+        if (log.commit(meta)) Some(meta)
+        else if (log.contains(idempotenceKey)) None
+        else throw new SnapshotTable.CommitConflict(version, root)
+      }
     }
 
     // merge-on-read: while every touched bucket is under its delta cap,
@@ -552,7 +622,15 @@ final class SnapshotTable(
     }
 
     val version = prev.map(_.version + 1).getOrElse(1L)
-    val dataRel = f"data/v$version%08d"
+    // unique per ATTEMPT, not per version: two writers racing on the same
+    // next version must never share a data directory (mode("overwrite")
+    // would silently clobber the winner's files before the commit rename
+    // decides the race). The committed manifest records the full relative
+    // path, so readers never reconstruct it from the version number; a
+    // losing attempt's orphaned dir is reclaimed by vacuum() once its
+    // version is at/below the committed head.
+    val dataRel =
+      f"data/v$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = s"$root/$dataRel"
     // total metrics ride the write itself (Observation, 2 aggregates — a
     // wide per-bucket observe would janino-compile a pathological method);
@@ -669,13 +747,18 @@ final class SnapshotTable(
       committedAtMs = System.currentTimeMillis()
     )
     if (log.commit(meta)) Some(meta)
-    else if (log.contains(idempotenceKey)) None
     else {
-      // version collision without our key: single-writer contract violated;
-      // surface loudly rather than guessing
-      throw new IllegalStateException(
-        s"commit conflict at version $version for $root"
-      )
+      // this attempt lost the publication race: its (uniquely-suffixed)
+      // files can never be referenced by any manifest — remove them
+      // eagerly so the loser leaves no orphan behind
+      deleteRecursively(java.nio.file.Paths.get(dataDir))
+      if (log.contains(idempotenceKey)) None
+      else {
+        // version collision without our key: a concurrent writer with a
+        // DIFFERENT batch won this version — signal merge() to re-run the
+        // whole attempt against the new head (optimistic concurrency)
+        throw new SnapshotTable.CommitConflict(version, root)
+      }
     }
   }
 }
@@ -701,6 +784,15 @@ object SnapshotTable {
   /** Eager, stream-closing directory listing (shared impl: [[graft.util.Dirs]]). */
   private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     graft.util.Dirs.listDir(p)
+
+  /** A concurrent writer with a DIFFERENT idempotence key published the
+    * version this attempt targeted; merge() re-runs the attempt against
+    * the new head (bounded retries).
+    */
+  private[graft] final class CommitConflict(version: Long, root: String)
+      extends RuntimeException(
+        s"lost commit race at version $version for $root"
+      )
 
   /** Per-bucket row counts of a freshly written snapshot version, from the
     * parquet file footers (driver-side metadata reads — no Spark job).
