@@ -254,6 +254,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
         .sortSmall("content_md5")
     }),
+    "q_token_bpe" -> ((s, dir) => {
+      // REAL subword tokenizer: BPE merges learned from this corpus itself
+      // (Sennrich algorithm, deterministic tie-breaks — no external vocab
+      // ships in this sandbox), then the greedy lowest-rank encoder as a
+      // native expression. Oracle: pinned output (PinnedOracles.token_bpe —
+      // DuckDB cannot run an iterative tokenizer); algorithm semantics are
+      // golden-tested corpus-independently in BpeSpec (round-trip,
+      // monotonicity, the published 'newest/widest' merge order).
+      GraftFunctions.register(s)
+      val docs = pq(s, dir, "documents")
+      val merges = TextOps.learnBpe(docs, "text", numMerges = 200)
+      docs
+        .select(
+          col("doc_id"),
+          TextOps
+            .bpeTokenCount(col("text"), merges)
+            .cast(LongType)
+            .as("n_bpe_tokens")
+        )
+        .sortSmall("doc_id")
+    }),
     "q_token_count" -> ((s, dir) => {
       pq(s, dir, "documents")
         .select(
@@ -1550,6 +1571,7 @@ object SparkEntry {
     // (see PinnedOracles). Semantic goldens for the same operators live in
     // TrainingOpsSpec (recall/pigeonhole/brute-force-equivalence).
     "q_knn_lsh" -> PinnedOracles.knn_lsh,
+    "q_token_bpe" -> PinnedOracles.token_bpe,
     "q_simhash_pairs" -> PinnedOracles.simhash_pairs,
     "q_winnow_pairs" -> PinnedOracles.winnow_pairs,
     "q_winnow_fp" -> PinnedOracles.winnow_fp

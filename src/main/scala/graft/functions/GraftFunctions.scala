@@ -48,6 +48,17 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_bpe_count",
+      {
+        case Seq(c, blob) => BpeCount(c, blob.eval().toString)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_bpe_count expects (text, mergesBlob), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_winnow",
       {
         case Seq(c) => Winnow(c, 7, 8)
@@ -83,6 +94,16 @@ object GraftFunctions {
     call_function(
       "graft_json_drop_keys",
       (c +: keys.map(org.apache.spark.sql.functions.lit(_))): _*
+    )
+
+  /** BPE token count under a learned merges table (wire form of
+    * [[Bpe.encodeMerges]]; requires [[register]]).
+    */
+  def bpeCount(c: Column, mergesBlob: String): Column =
+    call_function(
+      "graft_bpe_count",
+      c,
+      org.apache.spark.sql.functions.lit(mergesBlob)
     )
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */

@@ -76,10 +76,49 @@ object TextOps {
 
   /** BPE-ish subword count: word pieces, numbers, and punctuation runs
     * counted separately (a cheap stand-in for a real tokenizer's token
-    * count; the regex mirrors the GPT-2 pre-tokenizer's shape).
+    * count; the regex mirrors the GPT-2 pre-tokenizer's shape). For the
+    * REAL learned-merges tokenizer, see [[learnBpe]] + [[bpeTokenCount]].
     */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Learn a BPE merges table from the corpus itself (no external vocab
+    * ships in this sandbox): distributed word count (map-side combine
+    * bounds the shuffle by vocabulary size, exactly like `q_vocab`), top
+    * `maxWords` words by (count desc, word asc) to the driver — bounded
+    * state, same pattern as the IVF training sample — then the Sennrich
+    * learner ([[graft.functions.Bpe.learn]]). Deterministic end to end.
+    */
+  def learnBpe(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 20000
+  ): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(col(textCol))
+      .as[String]
+      .flatMap(t => graft.functions.Bpe.pretokenize(t))
+      .groupBy("value")
+      .count()
+      .orderBy(desc("count"), asc("value"))
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+    graft.functions.Bpe.learn(words, numMerges)
+  }
+
+  /** Token count under a learned merges table — the real-tokenizer drop-in
+    * for [[bpeishTokenCount]] wherever token budgets matter (mixture
+    * planning, packing, chunking). Requires
+    * [[graft.functions.GraftFunctions.register]].
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.GraftFunctions
+      .bpeCount(text, graft.functions.Bpe.encodeMerges(merges))
 
   val enStop = Seq(
     "the", "of", "and", "to", "in", "a", "is", "that", "it", "was", "for",
