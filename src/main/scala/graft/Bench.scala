@@ -325,15 +325,56 @@ object Bench {
     Seq(legBase, legTop, legLow).foreach { l =>
       if (runsBy(l.name).maxBy(_.eps).steal > StealResampleFrac) runLeg(l)
     }
-    // second trigger: a cpu-bound pair above 1.0 is physically
-    // meaningless for this engine (constant total work), so the low leg
-    // itself was degraded — by noise steal ticks do NOT capture (live
-    // samples show sub-1% steal legs losing 20%+ to cache/bandwidth
-    // contention). One extra low draw, exactly the rule that recovered a
-    // 2.4x-gutted low leg in an earlier round.
-    def bestOf(l: Leg): Double = runsBy(l.name).maxBy(_.eps).eps
-    if ((bestOf(legBase) / bestOf(legLow)) / (scaleBase.toDouble / lowBase) > 1.0)
-      runLeg(legLow)
+
+    // ---- pair selection + bandwidth-aware qualification ------------------
+    // A scaling ratio is only meaningful between runs that did COMPARABLE
+    // WORK under COMPARABLE conditions. Steal ticks alone cannot certify
+    // that: live samples show sub-1% steal legs losing 20%+ to cache /
+    // memory-bandwidth contention (cpu_work_ratio up to 3x on constant
+    // work). So the PRINTED pair is chosen across all (low-run, high-run)
+    // combinations: steal-clean on both sides, then minimize
+    // |cpu_work_ratio - 1| (equal cpu-seconds == the same work measured
+    // under the same conditions), tie-broken toward higher throughput. A
+    // pair is QUALIFIED when both steals < 0.1 and the ratio is within
+    // 25% of 1; while a pair stays unqualified, its legs earn extra draws
+    // (bounded), because one of them was degraded by noise the steal
+    // counter cannot see.
+    final case class Pair(low: Run, high: Run) {
+      val ratio: Double =
+        if (low.ev.cpuTimeSec > 0) high.ev.cpuTimeSec / low.ev.cpuTimeSec
+        else Double.NaN
+      def stealClean: Boolean = low.steal < 0.1 && high.steal < 0.1
+      def qualified: Boolean =
+        stealClean && !ratio.isNaN && math.abs(ratio - 1) <= 0.25
+    }
+    def selectPair(lows: Seq[Run], highs: Seq[Run]): Pair = {
+      val pairs = for { l <- lows; h <- highs } yield Pair(l, h)
+      val pool = {
+        val clean = pairs.filter(p => p.stealClean && !p.ratio.isNaN)
+        if (clean.nonEmpty) clean else pairs
+      }
+      pool.minBy(p =>
+        (
+          if (p.ratio.isNaN) Double.MaxValue else math.abs(p.ratio - 1),
+          -(p.low.eps + p.high.eps)
+        )
+      )
+    }
+    def lowPair() = selectPair(runsBy(legLow.name).toSeq, runsBy(legBase.name).toSeq)
+    def topPair() = selectPair(runsBy(legBase.name).toSeq, runsBy(legTop.name).toSeq)
+    var extraRounds = 0
+    while (
+      extraRounds < 2 && !(lowPair().qualified && topPair().qualified)
+    ) {
+      // redraw only the legs of the failing pair(s)
+      val need = scala.collection.mutable.LinkedHashSet.empty[Leg]
+      if (!lowPair().qualified) { need += legLow; need += legBase }
+      if (!topPair().qualified) { need += legBase; need += legTop }
+      need.foreach(runLeg)
+      extraRounds += 1
+    }
+    val selLow = lowPair()
+    val selTop = topPair()
     val allRuns = runsBy.values.flatten.toSeq
     require(
       allRuns.map(_.fp).distinct.size == 1,
@@ -342,17 +383,23 @@ object Bench {
     val bestBase = runsBy(legBase.name).maxBy(_.eps)
     val bestTop = runsBy(legTop.name).maxBy(_.eps)
     val bestLow = runsBy(legLow.name).maxBy(_.eps)
+    // best-of-k remains the CAPABILITY estimate per leg (steal only ever
+    // lowers throughput); the SCALING ratios come from the selected
+    // comparable pairs above, which self-certify in the JSON
     val (epsBase, fpBase, evBase) = (bestBase.eps, bestBase.fp, bestBase.ev)
     val (eps4x, fp4x, ev4x) = (bestTop.eps, bestTop.fp, bestTop.ev)
     val epsLow = bestLow.eps
-    val efficiency = (eps4x / epsBase) / 4.0
+    val efficiency = (selTop.high.eps / selTop.low.eps) / 4.0
     val stateMatch = fpBase == fp4x
-    val efficiencyLow = (epsBase / epsLow) / (scaleBase.toDouble / lowBase)
+    val efficiencyLow =
+      (selLow.high.eps / selLow.low.eps) / (scaleBase.toDouble / lowBase)
     // work-proportionality evidence: CPU-seconds and task counts the engine
     // spends must be ~flat across parallelism levels (ratio ~1.0); if they
     // are, any wall-clock efficiency shortfall on this SINGLE box is
     // bandwidth saturation, not a serialization bottleneck in the plan
     val workRatio = if (evBase.cpuTimeSec > 0) ev4x.cpuTimeSec / evBase.cpuTimeSec else 0.0
+    def pairJson(p: Pair): String =
+      s"""{"eps_low":${f"${p.low.eps}%.1f"},"eps_high":${f"${p.high.eps}%.1f"},"steal_low":${f"${p.low.steal}%.3f"},"steal_high":${f"${p.high.steal}%.3f"},"cpu_work_ratio":${f"${p.ratio}%.3f"},"qualified":${p.qualified}}"""
     def evJson(e: TaskEvidence): String =
       s"""{"tasks":${e.tasks},"task_time_sec":${f"${e.taskTimeSec}%.1f"},"cpu_time_sec":${f"${e.cpuTimeSec}%.1f"},"gc_time_sec":${f"${e.gcTimeSec}%.1f"},"fetch_wait_sec":${f"${e.fetchWaitSec}%.1f"},"shuffle_read_mb":${f"${e.shuffleReadMb}%.1f"},"shuffle_write_mb":${f"${e.shuffleWriteMb}%.1f"}}"""
 
@@ -377,7 +424,7 @@ object Bench {
     val r4 = runsBy(legTop.name).toSeq
     val rL = runsBy(legLow.name).toSeq
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"events_per_sec_n_runs":${samples(rN)},"events_per_sec_4n_runs":${samples(r4)},"events_per_sec_low_runs":${samples(rL)},"steal_frac_n_runs":${steals(rN)},"steal_frac_4n_runs":${steals(r4)},"steal_frac_low_runs":${steals(rL)},"events_per_sec_n_median":${f"${median(rN)}%.1f"},"events_per_sec_4n_median":${f"${median(r4)}%.1f"},"events_per_sec_low_median":${f"${median(rL)}%.1f"},"steal_frac_best_n":${f"${bestBase.steal}%.3f"},"steal_frac_best_4n":${f"${bestTop.steal}%.3f"},"steal_frac_best_low":${f"${bestLow.steal}%.3f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch,"cores_low":$lowBase,"events_per_sec_low":${f"$epsLow%.1f"},"scaling_efficiency_cpu_bound_${lowBase}_to_$scaleBase":${f"$efficiencyLow%.3f"},"task_evidence_n":${evJson(evBase)},"task_evidence_4n":${evJson(ev4x)},"cpu_work_ratio_4n_over_n":${f"$workRatio%.3f"}}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","replay":{"events":$replayEvents,"events_per_sec_n":${f"$epsBase%.1f"},"events_per_sec_4n":${f"$eps4x%.1f"},"events_per_sec_n_runs":${samples(rN)},"events_per_sec_4n_runs":${samples(r4)},"events_per_sec_low_runs":${samples(rL)},"steal_frac_n_runs":${steals(rN)},"steal_frac_4n_runs":${steals(r4)},"steal_frac_low_runs":${steals(rL)},"events_per_sec_n_median":${f"${median(rN)}%.1f"},"events_per_sec_4n_median":${f"${median(r4)}%.1f"},"events_per_sec_low_median":${f"${median(rL)}%.1f"},"steal_frac_best_n":${f"${bestBase.steal}%.3f"},"steal_frac_best_4n":${f"${bestTop.steal}%.3f"},"steal_frac_best_low":${f"${bestLow.steal}%.3f"},"cores_n":$scaleBase,"cores_4n":${scaleBase * 4},"scaling_efficiency":${f"$efficiency%.3f"},"state_fingerprint_n":$fpBase,"state_fingerprint_4n":$fp4x,"state_match":$stateMatch,"cores_low":$lowBase,"events_per_sec_low":${f"$epsLow%.1f"},"scaling_efficiency_cpu_bound_${lowBase}_to_$scaleBase":${f"$efficiencyLow%.3f"},"task_evidence_n":${evJson(evBase)},"task_evidence_4n":${evJson(ev4x)},"cpu_work_ratio_4n_over_n":${f"$workRatio%.3f"},"pair_cpu_bound_${lowBase}_to_$scaleBase":${pairJson(selLow)},"pair_${scaleBase}_to_${scaleBase * 4}":${pairJson(selTop)}}}"""
     )
   }
 }
