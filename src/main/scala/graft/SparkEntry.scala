@@ -737,6 +737,22 @@ object SparkEntry {
         )
         .sortSmall("doc_id", "chunk_id")
     }),
+    "q_chunk_text" -> ((s, dir) => {
+      // end-to-end chunking: the plan's fan-out plus the actual text
+      // slice, one map-side pass (tokenize once, explode, slice) — the
+      // oracle re-derives every chunk text with list_slice
+      val d = pq(s, dir, "documents")
+      TextOps
+        .sliceChunks(d, "text", "doc_id", chunkTokens = 120, stride = 90)
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast(LongType).as("chunk_id"),
+          col("tok_begin").cast(LongType).as("tok_begin"),
+          col("tok_end").cast(LongType).as("tok_end"),
+          col("chunk_text")
+        )
+        .sortSmall("doc_id", "chunk_id")
+    }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization (session_window — Spark's native
       // merging-session operator, state-store-backed when streaming):
@@ -782,6 +798,36 @@ object SparkEntry {
         )
       JoinOps
         .asofJoin(clicks, views, Seq("user_id"), "ts", Seq("view_id", "value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("asof_view_id"),
+          col("asof_value")
+        )
+        .sortSmall("event_id")
+    }),
+    "q_asof_salted" -> ((s, dir) => {
+      // skew valve: same as-of semantics, window keyed by (user, 6h time
+      // bucket) with carried boundary rows — a hot user fans out instead
+      // of serializing one sorted task. Same oracle as q_asof_join: the
+      // valve must be result-invariant (also golden-tested on a hot-key
+      // corpus in JoinOpsSpec).
+      val ev = pq(s, dir, "events")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id").as("view_id"),
+          col("value")
+        )
+      JoinOps
+        .asofJoinSalted(
+          clicks, views, Seq("user_id"), "ts",
+          Seq("view_id", "value"), bucketSecs = 21600L)
         .select(
           col("event_id"),
           col("user_id"),
@@ -1491,6 +1537,23 @@ object SparkEntry {
         |       CAST(LEAST(chunk_id * 90 + 120, n) AS BIGINT) AS tok_end,
         |       CAST(n_chunks AS BIGINT) AS n_chunks
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 0 THEN 0 WHEN len(toks) <= 120 THEN 1
+        |              ELSE CAST(ceil((len(toks) - 120) / 90.0) AS INT) + 1 END AS n_chunks
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM c WHERE n_chunks > 0
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 90 AS BIGINT) AS tok_begin,
+        |       CAST(LEAST(chunk_id * 90 + 120, n) AS BIGINT) AS tok_end,
+        |       array_to_string(list_slice(toks, chunk_id * 90 + 1, LEAST(chunk_id * 90 + 120, n)), ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "q_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,
@@ -1508,6 +1571,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS asof_view_id, r.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // the salted valve is result-invariant, so it shares the unsalted
+    // query's native-ASOF oracle verbatim
+    "q_asof_salted" ->
       """SELECT l.event_id, l.user_id, r.event_id AS asof_view_id, r.value AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r

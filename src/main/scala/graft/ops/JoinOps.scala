@@ -34,6 +34,12 @@ object JoinOps {
     * deterministic pick should ensure (key, time) uniqueness or add a
     * tiebreak column to `timeCol`'s ordering upstream.
     *
+    * Skew limit: parallelism = distinct keys, so ONE HOT KEY (a user with
+    * 10^7 events in a 100 TB corpus) serializes into a single sorted
+    * task. For skewed key distributions use [[asofJoinSalted]], which
+    * splits each key over time buckets with a carried boundary row and
+    * returns identical results.
+    *
     * @param rightPayload right columns to surface, prefixed `asof_`
     */
   def asofJoin(
@@ -61,6 +67,104 @@ object JoinOps {
       )
   }
 
+  /** Epoch-seconds ordering column (NTZ timestamps cannot cast straight to
+    * double; numeric time columns pass through the timestamp hop
+    * unchanged). Only relative order and differences feed the windows, so
+    * the hop is semantics-free.
+    */
+  private def tsec(c: Column): Column = c.cast("timestamp").cast("double")
+
+  /** Skew-immune [[asofJoin]]: identical results, but the window is keyed
+    * by `(key, timeBucket)` instead of `key` alone, so a HOT key (one key
+    * holding a large fraction of all rows — the scale-killer of any
+    * keyed-window plan) fans out over `hotKeyRows / bucket` tasks instead
+    * of serializing into one.
+    *
+    * The price of bucketing is the boundary: a left row early in bucket B
+    * may need a right row from an EARLIER bucket. That state is carried,
+    * not shuffled: one `max_by` per (key, bucket) reduces the right side
+    * to bucket summaries (rows = non-empty buckets per key, map-side
+    * combined), a running window over those summaries — tiny by
+    * construction, even for the hottest key it is one row per bucket —
+    * derives each left bucket's carry-in (latest right payload from
+    * strictly earlier buckets), and the carry-ins are stamped at bucket
+    * start so they sort before every in-bucket row. Three shuffles of
+    * O(input) total vs one for the unsalted plan — worth it exactly when
+    * a key is hot; callers with roughly uniform keys should prefer
+    * [[asofJoin]].
+    *
+    * @param bucketSecs time-bucket width in seconds (epoch-based)
+    */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightPayload: Seq[String],
+      bucketSecs: Long
+  ): DataFrame = {
+    require(bucketSecs > 0, "bucketSecs must be positive")
+    val keys = keyCols.map(col)
+    val rp = struct(rightPayload.map(col): _*)
+    val r2 = right
+      .select((keyCols :+ timeCol).map(col) :+ rp.as("__rp"): _*)
+      .withColumn("__tsec", tsec(col(timeCol)))
+      .withColumn("__tb", floor(col("__tsec") / bucketSecs).cast("long"))
+    val l2 = left
+      .withColumn("__tsec", tsec(col(timeCol)))
+      .withColumn("__tb", floor(col("__tsec") / bucketSecs).cast("long"))
+
+    // latest right row per (key, bucket) — the boundary state
+    val sums = r2
+      .groupBy(keys :+ col("__tb"): _*)
+      .agg(max_by(struct(col("__tsec"), col("__rp")), col("__tsec")).as("__last"))
+    // carry-in for every bucket that holds left rows: the running last
+    // summary over STRICTLY earlier buckets (markers sort before the same
+    // bucket's summary, so a bucket never sees its own rights as carry)
+    val leftBuckets = l2.select(keys :+ col("__tb"): _*).distinct()
+    val u0 = sums
+      .withColumn("__k", lit(1))
+      .unionByName(leftBuckets.withColumn("__k", lit(0)), allowMissingColumns = true)
+    val w0 = Window
+      .partitionBy(keys: _*)
+      .orderBy(col("__tb"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = u0
+      .withColumn("__c", last(col("__last"), ignoreNulls = true).over(w0))
+      .filter(col("__k") === 0 && col("__c").isNotNull)
+      .select(
+        keys ++ Seq(
+          col("__tb"),
+          col("__c.__rp").as("__rp"),
+          // stamped at bucket start: sorts at-or-before every in-bucket row,
+          // and a same-instant in-bucket right row still wins the frame
+          (col("__tb") * bucketSecs).cast("double").as("__tsec")
+        ): _*
+      )
+
+    // side ranks: carry(-1) < right(0) < left(1) — a real right row at
+    // exactly the bucket boundary deterministically beats the carry (its
+    // true time is at least the carry's), and rights still sort before
+    // left rows at equal instants (inclusive as-of)
+    val rAll = r2
+      .select(keys ++ Seq(col("__tb"), col("__rp"), col("__tsec")): _*)
+      .withColumn("__side", lit(0))
+      .unionByName(carry.withColumn("__side", lit(-1)))
+    val u = l2
+      .withColumn("__side", lit(1))
+      .unionByName(rAll, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys :+ col("__tb"): _*)
+      .orderBy(col("__tsec").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) ++
+          rightPayload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*
+      )
+  }
+
   /** RANGE join aggregate: for each left row, aggregate right rows of the
     * same key whose `timeCol` falls in `[left.time - lookbackExpr,
     * left.time]` — the windowed-count/sum companion of [[asofJoin]]
@@ -68,7 +172,8 @@ object JoinOps {
     * running-window shape: a `RANGE BETWEEN interval PRECEDING` frame
     * over the unioned timeline, so there is still exactly one shuffle
     * and no per-pair join explosion (a naive theta-join would be
-    * |left| x |right| per key).
+    * |left| x |right| per key). Same hot-key skew limit as [[asofJoin]];
+    * [[rangeJoinAggSalted]] is the bucketed variant.
     *
     * @param valueCol right column to aggregate (count + sum emitted as
     *                 `range_count` / `range_sum`)
@@ -100,6 +205,59 @@ object JoinOps {
     // Count by SIDE marker, not the value column: "right rows in range"
     // must include right rows whose value is null (count(__rv) would
     // silently skip them and diverge from the COUNT(*) oracle).
+    u.withColumn("range_count", count(when(col("__side") === 0, lit(1))).over(w))
+      .withColumn("range_sum", sum(col("__rv")).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.map(col) :+ col("range_count") :+
+          coalesce(col("range_sum"), lit(0L)).as("range_sum"): _*
+      )
+  }
+
+  /** Skew-immune [[rangeJoinAgg]]: identical results, window keyed by
+    * `(key, timeBucket)`. The boundary state here is heavier than the
+    * as-of carry — a left row early in bucket B can aggregate right rows
+    * up to `lookbackSecs` before the bucket start — so the TAIL of each
+    * bucket's right rows (the last `lookbackSecs` of it) is duplicated
+    * into the next bucket with its true timestamp. With
+    * `bucketSecs >= lookbackSecs` each right row is duplicated at most
+    * once (bounded expansion <= 2x, typically ~lookback/bucket), every
+    * left row's range frame is fully covered inside its own bucket, and
+    * no group ever sees the same right row twice.
+    */
+  def rangeJoinAggSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      lookbackSecs: Long,
+      bucketSecs: Long
+  ): DataFrame = {
+    require(
+      bucketSecs >= lookbackSecs && lookbackSecs >= 0,
+      "bucketSecs must be >= lookbackSecs (one-bucket carry coverage)"
+    )
+    val keys = keyCols.map(col)
+    val r2 = right
+      .select((keyCols :+ timeCol).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__tsec", tsec(col(timeCol)))
+      .withColumn("__tb", floor(col("__tsec") / bucketSecs).cast("long"))
+    // bucket tail -> next bucket (true timestamps; the RANGE frame decides
+    // membership, bucketing only decides task placement)
+    val dup = r2
+      .filter(col("__tsec") >= (col("__tb") + 1) * bucketSecs - lookbackSecs)
+      .withColumn("__tb", col("__tb") + 1)
+    val rAll = r2.unionByName(dup).withColumn("__side", lit(0))
+    val l2 = left
+      .withColumn("__tsec", tsec(col(timeCol)))
+      .withColumn("__tb", floor(col("__tsec") / bucketSecs).cast("long"))
+      .withColumn("__side", lit(1))
+    val u = l2.unionByName(rAll, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys :+ col("__tb"): _*)
+      .orderBy(col("__tsec"))
+      .rangeBetween(-lookbackSecs, 0)
     u.withColumn("range_count", count(when(col("__side") === 0, lit(1))).over(w))
       .withColumn("range_sum", sum(col("__rv")).over(w))
       .filter(col("__side") === 1)

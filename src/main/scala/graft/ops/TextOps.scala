@@ -74,6 +74,51 @@ object TextOps {
   }
 
 
+  /** Materialized companion of [[chunkPlan]]: the same stride-overlapped
+    * fan-out, with each chunk's TEXT sliced out in the same map-side
+    * projection — tokenize once per document, explode the chunk ids, then
+    * `slice` + `array_join` per chunk. The text column is never shuffled
+    * or duplicated ahead of the slice: explode -> slice -> drop-tokens all
+    * pipeline inside one whole-stage-codegen'd map task, so what leaves
+    * the stage is only the (much smaller) chunk text.
+    *
+    * Output: `(idCol, chunk_id, tok_begin, tok_end, chunk_text)`.
+    */
+  def sliceChunks(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      stride: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens)
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= 0, 0)
+      .when(n <= chunkTokens, 1)
+      .otherwise(
+        floor((n - chunkTokens + stride - 1) / lit(stride)).cast("int") + 1
+      )
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(
+        col(idCol),
+        col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id")
+      )
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_begin"),
+        least(col("chunk_id") * stride + chunkTokens, size(col("__toks")))
+          .as("tok_end"),
+        array_join(
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)),
+          " "
+        ).as("chunk_text")
+      )
+  }
+
   /** BPE-ish subword count: word pieces, numbers, and punctuation runs
     * counted separately (a cheap stand-in for a real tokenizer's token
     * count; the regex mirrors the GPT-2 pre-tokenizer's shape). For the

@@ -559,6 +559,65 @@ class TrainingOpsSpec extends SparkSpec {
     assert(exact(1L) > 500000L && exact(2L) > 500000L && exact(3L) == 0L)
   }
 
+  test("duplicated-span valve: sampleMod=8 shuffles <25% of exact-mode volume, detection intact") {
+    // the valve's CLAIMED mechanism is the pre-shuffle filter at the gram
+    // explode (DedupOps.dupSpanFracMicro) — measure it, don't trust the
+    // plan shape: total shuffle records/bytes across the whole pipeline
+    // must drop ~8x when only hash%8==0 grams survive the map side.
+    val shared = (0 until 60).map(i => s"seg$i-body ").mkString
+    val rows = (0L until 40L)
+      .map(i =>
+        if (i % 2 == 0) (i, shared + ("x" + i.toString) * 40)
+        else (i, ("y" + i.toString) * 37 + shared)
+      )
+      .toDF("doc_id", "text")
+      .localCheckpoint(true) // freeze the input: both runs shuffle-measure only the operator
+
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd
+      ): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(mod: Int): (Map[Long, Long], Long, Long) = {
+        recs.set(0); bytes.set(0)
+        val out = DedupOps
+          .dupSpanFracMicro(rows, "text", "doc_id", k = 50, sampleMod = mod)
+          .as[(Long, Long)]
+          .collect()
+          .toMap
+        org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+        (out, recs.get(), bytes.get())
+      }
+      val (exact, exactRecs, exactBytes) = measure(1)
+      val (sampled, sampledRecs, sampledBytes) = measure(8)
+      assert(exactRecs > 0 && sampledRecs > 0)
+      assert(
+        sampledRecs * 4 <= exactRecs,
+        s"valve did not cut shuffle records: $sampledRecs vs $exactRecs"
+      )
+      assert(
+        sampledBytes * 4 <= exactBytes,
+        s"valve did not cut shuffle bytes: $sampledBytes vs $exactBytes"
+      )
+      // detection survives the sampling: every shared-span holder still
+      // scores high, the exact run agrees
+      (0L until 40L).foreach { i =>
+        assert(sampled(i) > 300000L, s"doc $i lost its span: ${sampled(i)}")
+        assert(exact(i) > 300000L)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("chunk plan: full coverage with overlap, short and empty edges") {
     val rows = Seq(
       (1L, (1 to 250).map(i => s"w$i").mkString(" ")), // 3 chunks
