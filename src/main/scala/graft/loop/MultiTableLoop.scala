@@ -80,7 +80,14 @@ final class MultiTableLoop(
       * merges, fencing) is envelope-agnostic, mirroring the reference's
       * per-URL handler dispatch (internal/source/cdc/handler.go).
       */
-    val parse: DataFrame => DataFrame = Envelopes.parseWebhookLines(_)
+    val parse: DataFrame => DataFrame = Envelopes.parseWebhookLines(_),
+    /** Opt-in CDC-out, the fan analog of [[ReplayLoop]]'s `changelogDir`:
+      * after each topic's merge, publish its changelog segments under
+      * `<changelogDir>/<topic>` via [[graft.table.SnapshotTable.emitChangelog]].
+      * Idempotent + self-healing per topic (every merge emits whatever
+      * committed versions are still missing from the topic's directory).
+      */
+    val changelogDir: Option[String] = None
 ) {
   private val levelOrder: Seq[Seq[String]] =
     FkLevels.levels(targets.keys.toSeq.sorted, dependsOn)
@@ -216,6 +223,9 @@ final class MultiTableLoop(
                 extraMetrics = Map("merged_through_seq" -> seqNow)
               )
               casCleanup()
+              // changelog BEFORE vacuum: segments diff against the previous
+              // version's manifest, which vacuum may retire
+              changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
               t.stage.retire(target)
               // bound version growth exactly as ReplayLoop does: at
               // streaming cadence every fence commits a new version per
@@ -308,6 +318,7 @@ final class MultiTableLoop(
             lineage = Seq(s"batch=$batchId", s"topic=$topic", "mode=immediate")
           )
           casCleanup()
+          changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
           vacuumKeepVersions.foreach(t.table.vacuum(_))
         }
       }

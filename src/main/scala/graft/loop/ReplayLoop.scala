@@ -88,7 +88,15 @@ final class ReplayLoop(
       * ([[safeMarkerFence]]). Trailing markers (newer than every data
       * file) fence at the [[runAvailableNow]] drain, through the same gate.
       */
-    val resolvedFromFilenames: Boolean = false
+    val resolvedFromFilenames: Boolean = false,
+    /** Opt-in CDC-out: after every commit, publish the commit's changelog
+      * segment (insert/update/delete row images) under this directory via
+      * [[SnapshotTable.emitChangelog]] — the reference's consumer-facing
+      * fan-out (internal/source/logical/loop.go:452-486). Idempotent and
+      * self-healing: each merge emits every segment still missing, so a
+      * crash between commit and emission is repaired by the next batch.
+      */
+    val changelogDir: Option[String] = None
 ) {
 
   /** High-water mtime (millis) over all DATA files delivered so far — the
@@ -379,6 +387,9 @@ final class ReplayLoop(
       )
     }
     casCleanup()
+    // changelog BEFORE vacuum: the new segment diffs against the previous
+    // version's manifest, which vacuum may retire
+    changelogDir.foreach(table.emitChangelog)
     stage.retire(target)
     vacuumKeepVersions.foreach(table.vacuum(_))
   }

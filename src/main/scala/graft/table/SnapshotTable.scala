@@ -224,6 +224,80 @@ final class SnapshotTable(
       )
   }
 
+  /** Publish the commit-granularity changelog as parquet SEGMENTS under
+    * `outDir` — the consumer-facing CDC-out of the apply loop (the
+    * reference delivers changes to downstream consumers from its fan-out
+    * side, internal/source/logical/loop.go:452-486; here consumers tail a
+    * directory instead of re-deriving diffs by polling
+    * [[changesBetween]]).
+    *
+    * Segment `v%08d` holds `changesBetween(v-1, v)` (pks + payload +
+    * `change_type`); the first retained version bootstraps as
+    * all-inserts. Emission is IDEMPOTENT and crash-safe: every call
+    * emits all committed versions missing from `outDir` (self-healing
+    * when a crash lands between commit and emission), each segment is
+    * fully written to a temp name then atomically moved, and a lost
+    * rename race just discards the duplicate. Cost per segment is the
+    * manifest-pruned diff — proportional to rewritten buckets, not table
+    * size. Returns the number of segments written.
+    */
+  def emitChangelog(outDir: String): Int = {
+    val versions = log.listVersions()
+    if (versions.isEmpty) return 0
+    val out = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(out)
+    val emitted: Set[Long] = SnapshotTable
+      .listDir(out)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("v"))
+      .map(_.drop(1))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .toSet
+    var wrote = 0
+    versions.filterNot(emitted.contains).foreach { v =>
+      val seg: Option[DataFrame] =
+        if (log.tryRead(v - 1).isDefined) Some(changesBetween(v - 1, v))
+        else if (v == versions.min) {
+          // bootstrap: the first retained version's visible rows are the
+          // inserts a from-nothing consumer must see
+          val m = metaAtOrThrow(v)
+          val pks = Option(m.pkCols).getOrElse(Nil)
+          val payloadCols = StructType
+            .fromDDL(m.schemaDdl)
+            .fieldNames
+            .toSeq
+            .filterNot(pks.contains)
+          Some(
+            readAt(v).select(
+              (pks ++ payloadCols).map(col) :+ lit("insert").as("change_type"): _*
+            )
+          )
+        } else None // predecessor vacuumed mid-history: diff unreconstructable
+      seg.foreach { df =>
+        val tmp =
+          out.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        try {
+          java.nio.file.Files.move(
+            tmp,
+            out.resolve(f"v$v%08d"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE
+          )
+          wrote += 1
+        } catch {
+          // another emitter published this segment first (same content by
+          // construction) — drop ours
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(tmp)
+          case _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(tmp)
+        }
+      }
+    }
+    wrote
+  }
+
   private def readRawAt(
       metaOpt: Option[CommitMeta],
       onlyBuckets: Option[Set[Int]]
