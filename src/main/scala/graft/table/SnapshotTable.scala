@@ -240,6 +240,11 @@ final class SnapshotTable(
     * rename race just discards the duplicate. Cost per segment is the
     * manifest-pruned diff — proportional to rewritten buckets, not table
     * size. Returns the number of segments written.
+    *
+    * Every row carries `commit_version` so consumers discovering segments
+    * out of order (e.g. [[SnapshotTable.changelogStream]]'s file source,
+    * which lists without ordering guarantees) can still fold in commit
+    * order.
     */
   def emitChangelog(outDir: String): Int = {
     val versions = log.listVersions()
@@ -274,7 +279,8 @@ final class SnapshotTable(
             )
           )
         } else None // predecessor vacuumed mid-history: diff unreconstructable
-      seg.foreach { df =>
+      seg.foreach { df0 =>
+        val df = df0.withColumn("commit_version", lit(v))
         val tmp =
           out.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         df.write.mode("overwrite").parquet(tmp.toString)
@@ -296,6 +302,22 @@ final class SnapshotTable(
       }
     }
     wrote
+  }
+
+  /** Row schema of the changelog segments [[emitChangelog]] writes for
+    * this table: committed table columns (pks + payload) plus
+    * `change_type` and `commit_version`. The file-stream reader needs it
+    * up front ([[SnapshotTable.changelogStream]]).
+    */
+  def changelogSchema: StructType = {
+    val m = log
+      .latest()
+      .getOrElse(
+        throw new IllegalStateException(s"$root has no committed version")
+      )
+    StructType.fromDDL(m.schemaDdl)
+      .add("change_type", StringType)
+      .add("commit_version", LongType)
   }
 
   private def readRawAt(
@@ -844,6 +866,22 @@ object SnapshotTable {
   val BUCKET = "__bucket"
   val META_COLS: Seq[String] = Seq(NANOS, LOGICAL, DELETED, BUCKET)
   val META_COL_SET: Set[String] = META_COLS.toSet
+
+  /** Tail a changelog directory written by [[SnapshotTable.emitChangelog]]
+    * as a Structured Streaming source: the file source discovers each
+    * `v%08d` segment as the applier's atomic rename publishes it (dot-
+    * prefixed temp dirs are invisible to Spark's file listing). Rows carry
+    * `commit_version`; within one micro-batch segments may surface in any
+    * order, so consumers needing commit order sort/window on that column.
+    * Schema comes from [[SnapshotTable#changelogSchema]] (file streams
+    * need it declared up front).
+    */
+  def changelogStream(
+      spark: SparkSession,
+      changelogDir: String,
+      schema: StructType
+  ): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$changelogDir/v*")
 
   def withMeta(payload: StructType): StructType =
     StructType(
