@@ -339,18 +339,28 @@ object Bench {
     // 25% of 1; while a pair stays unqualified, its legs earn extra draws
     // (bounded), because one of them was degraded by noise the steal
     // counter cannot see.
-    final case class Pair(low: Run, high: Run) {
+    final case class Pair(low: Run, high: Run, coresRatio: Double) {
       val ratio: Double =
         if (low.ev.cpuTimeSec > 0) high.ev.cpuTimeSec / low.ev.cpuTimeSec
         else Double.NaN
+      val impliedEff: Double = (high.eps / low.eps) / coresRatio
       def stealClean: Boolean = low.steal < 0.1 && high.steal < 0.1
+      /** Super-linear scaling at comparable work is physically impossible
+        * for this workload, so impliedEff > 1 means the LOW leg was
+        * degraded by contention neither the steal counter nor the
+        * cpu-work ratio caught (work-inflated spinning, allocator stalls)
+        * — the pair certifies nothing and must not print as evidence
+        * (a live window printed 1.124 exactly this way).
+        */
+      def plausible: Boolean = impliedEff <= 1.05
       def qualified: Boolean =
-        stealClean && !ratio.isNaN && math.abs(ratio - 1) <= 0.25
+        stealClean && plausible && !ratio.isNaN && math.abs(ratio - 1) <= 0.25
     }
-    def selectPair(lows: Seq[Run], highs: Seq[Run]): Pair = {
-      val pairs = for { l <- lows; h <- highs } yield Pair(l, h)
+    def selectPair(lows: Seq[Run], highs: Seq[Run], coresRatio: Double): Pair = {
+      val pairs = for { l <- lows; h <- highs } yield Pair(l, h, coresRatio)
       val pool = {
-        val clean = pairs.filter(p => p.stealClean && !p.ratio.isNaN)
+        val clean =
+          pairs.filter(p => p.stealClean && p.plausible && !p.ratio.isNaN)
         if (clean.nonEmpty) clean else pairs
       }
       pool.minBy(p =>
@@ -360,8 +370,11 @@ object Bench {
         )
       )
     }
-    def lowPair() = selectPair(runsBy(legLow.name).toSeq, runsBy(legBase.name).toSeq)
-    def topPair() = selectPair(runsBy(legBase.name).toSeq, runsBy(legTop.name).toSeq)
+    def lowPair() = selectPair(
+      runsBy(legLow.name).toSeq, runsBy(legBase.name).toSeq,
+      scaleBase.toDouble / lowBase)
+    def topPair() = selectPair(
+      runsBy(legBase.name).toSeq, runsBy(legTop.name).toSeq, 4.0)
     var extraRounds = 0
     while (
       extraRounds < 2 && !(lowPair().qualified && topPair().qualified)

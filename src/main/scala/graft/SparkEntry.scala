@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.applyops.{ApplyPlanner, TableSpec}
 import graft.dedup.LastWriterWins
 import graft.functions.GraftFunctions
-import graft.ops.{DedupOps, JoinOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, IncrementalDedup, JoinOps, MultiModalOps, SampleOps, SimilarityOps, TextOps}
 
 /** Driver contract — one query per implemented operator family (SURVEY.md
   * §2), each SQL-expressible one paired with equivalent DuckDB oracle SQL
@@ -253,6 +253,36 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
         .sortSmall("content_md5")
+    }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // incremental near-dup ADMISSION: docs < 250 are the accepted
+      // corpus (band index built once), docs >= 250 arrive as a batch;
+      // each is accepted, rejected as a corpus duplicate, or rejected as
+      // a within-batch duplicate of a smaller-id survivor. Run in
+      // verify-against-lake mode (index prunes, exact n-gram Jaccard
+      // decides), so the oracle re-derives every verdict from the texts
+      // alone — no hash family in the semantics.
+      val d = pq(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val idx = IncrementalDedup.bandIndexRows(corpus, "text", "doc_id")
+      val adm = IncrementalDedup.admitBatch(
+        batch, idx, "text", "doc_id",
+        threshold = 0.7, corpusTexts = Some(corpus))
+      val verdicts = adm.rejected.select(
+        col("id").as("doc_id"),
+        when(col("reason") === "corpus", "corpus_dup")
+          .otherwise("batch_dup")
+          .as("verdict")
+      )
+      batch
+        .select("doc_id")
+        .join(verdicts, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("verdict"), lit("accepted")).as("verdict")
+        )
+        .sortSmall("doc_id")
     }),
     "q_token_bpe" -> ((s, dir) => {
       // REAL subword tokenizer: BPE merges learned from this corpus itself
@@ -1298,6 +1328,35 @@ object SparkEntry {
         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
         |)
         |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // verify-against-lake admission is a pure function of the texts:
+    // corpus_dup = exact 5-gram Jaccard >= 0.7 vs any corpus doc;
+    // batch_dup = >= 0.7 vs a smaller-id batch doc that itself survived
+    // the corpus check (the operator's check order)
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) < 5 THEN [text]
+        |              ELSE list_distinct(list_transform(range(1, len(text)-5+2), i -> text[i:i+4]))
+        |         END AS s
+        |  FROM documents
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 250
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7
+        |), corpus_rej AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM j WHERE id_a < 250
+        |), batch_rej AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM j
+        |  WHERE id_a >= 250
+        |    AND id_a NOT IN (SELECT doc_id FROM corpus_rej)
+        |    AND id_b NOT IN (SELECT doc_id FROM corpus_rej)
+        |)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id IN (SELECT doc_id FROM corpus_rej) THEN 'corpus_dup'
+        |            WHEN d.doc_id IN (SELECT doc_id FROM batch_rej) THEN 'batch_dup'
+        |            ELSE 'accepted' END AS verdict
+        |FROM documents d WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
