@@ -254,6 +254,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
         .sortSmall("content_md5")
     }),
+    "q_split" -> ((s, dir) => {
+      // deterministic rebalance-stable train/val/test split — a pure
+      // projection on the md5 unit hash, re-derivable by any engine;
+      // binary-representable fractions keep the cutoffs IEEE-identical
+      // on both sides
+      SampleOps
+        .assignSplit(
+          pq(s, dir, "documents").select("doc_id"),
+          "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+        )
+        .sortSmall("doc_id")
+    }),
     "q_incremental_dedup" -> ((s, dir) => {
       // incremental near-dup ADMISSION: docs < 250 are the accepted
       // corpus (band index built once), docs >= 250 arrive as a batch;
@@ -1328,6 +1341,13 @@ object SparkEntry {
         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
         |)
         |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // verify-against-lake admission is a pure function of the texts:
     // corpus_dup = exact 5-gram Jaccard >= 0.7 vs any corpus doc;
     // batch_dup = >= 0.7 vs a smaller-id batch doc that itself survived

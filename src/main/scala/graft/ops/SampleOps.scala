@@ -34,6 +34,40 @@ object SampleOps {
   ): DataFrame =
     df.filter(hashUnit(col(idCol), salt) < fraction)
 
+  /** Deterministic named split (train/val/test …): label every row by
+    * where its unit hash falls among cumulative fraction cutoffs. A pure
+    * projection — no shuffle, no RNG state, reproducible by any engine
+    * with md5 — and REBALANCE-STABLE: because membership is a fixed
+    * point on the [0,1) line, growing one split's fraction only converts
+    * rows across the adjacent boundary; existing test-set rows can never
+    * silently migrate into train when the ratios are retuned (the leak
+    * that random re-splits cause). Fractions must sum to 1 (the last
+    * split absorbs the remainder exactly). Cumulative cutoffs are
+    * computed in the same IEEE order an auditing engine would, so
+    * cross-engine agreement is bit-exact when the fractions are binary
+    * representable (prefer 0.75/0.125/0.125 over 0.8/0.1/0.1).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft",
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val u = hashUnit(col(idCol), salt)
+    val cutoffs = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val labeled = splits.init.zip(cutoffs.init).foldLeft(None: Option[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc match {
+          case None    => when(u < cut, name)
+          case Some(c) => c.when(u < cut, name)
+        })
+    }
+    df.withColumn(splitCol, labeled.get.otherwise(splits.last._1))
+  }
+
   /** Stratified variant: per-stratum sampling fractions (corpus mixing
     * weights, e.g. by language or source). Strata absent from the map are
     * dropped. Still a pure filter: the weights ride as a map literal

@@ -768,6 +768,29 @@ class TrainingOpsSpec extends SparkSpec {
     )
   }
 
+  test("assignSplit: exhaustive labeling, fraction-accurate, rebalance-stable boundaries") {
+    val ids = (0L until 20000L).toDF("id")
+    def splitSets(fr: Seq[(String, Double)]): Map[String, Set[Long]] =
+      SampleOps
+        .assignSplit(ids, "id", fr)
+        .select("id", "split")
+        .as[(Long, String)]
+        .collect()
+        .groupBy(_._2)
+        .map { case (k, v) => k -> v.map(_._1).toSet }
+    val a = splitSets(Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+    assert(a.values.map(_.size).sum == 20000) // every row labeled exactly once
+    assert(math.abs(a("train").size / 20000.0 - 0.5) < 0.02)
+    assert(math.abs(a("test").size / 20000.0 - 0.25) < 0.02)
+
+    // rebalance stability: growing train only moves the ADJACENT boundary —
+    // old train rows stay train, and nothing ever crosses train<->test
+    val b = splitSets(Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(a("train").subsetOf(b("train")))
+    assert(b("test").subsetOf(a("test")))
+    assert((a("test") & b("train")).isEmpty, "a test row leaked into train")
+  }
+
   test("embedding cosine near-dup pairs finds planted duplicates") {
     val r = new scala.util.Random(7)
     val vecs = (0 until 40).map { i =>
