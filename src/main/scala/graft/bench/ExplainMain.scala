@@ -135,6 +135,21 @@ object ExplainMain {
       t.changesBetween(1, 2).explain("formatted")
     }
 
+    {
+      import spark.implicits._
+      val left = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("id", "key", "t")
+      val right = Seq(("k", 5L, 100L)).toDF("key", "t", "v")
+      println("=== asofJoin (expect ONE Exchange on key; keyed window, no pair join) ===")
+      graft.ops.JoinOps
+        .asofJoin(left, right, Seq("key"), "t", Seq("v"))
+        .explain("formatted")
+      println("=== asofJoinSalted (expect window Exchanges clustering on (key, __tb): " +
+        "a hot key splits across time buckets instead of one sorted task) ===")
+      graft.ops.JoinOps
+        .asofJoinSalted(left, right, Seq("key"), "t", Seq("v"), bucketSecs = 3600L)
+        .explain("formatted")
+    }
+
     spark.stop()
   }
 }

@@ -251,8 +251,16 @@ final class SnapshotTable(
     if (versions.isEmpty) return 0
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
-    val emitted: Set[Long] = SnapshotTable
-      .listDir(out)
+    val entries = SnapshotTable.listDir(out)
+    // reclaim tmp dirs orphaned by a writer that crashed mid-segment-write
+    // (dot-prefixed, so readers never see them); age-gated so a LIVE
+    // concurrent emitter's in-flight tmp is left alone
+    val staleMs = System.currentTimeMillis() - 15 * 60 * 1000L
+    entries
+      .filter(_.getFileName.toString.startsWith(".tmp-"))
+      .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < staleMs)
+      .foreach(deleteRecursively)
+    val emitted: Set[Long] = entries
       .map(_.getFileName.toString)
       .filter(_.startsWith("v"))
       .map(_.drop(1))
