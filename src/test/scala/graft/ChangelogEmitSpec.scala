@@ -171,6 +171,39 @@ class ChangelogEmitSpec extends SparkSpec {
     assert(after == before, "healed segment content diverged")
   }
 
+  test("changelog dir hygiene: stale orphaned tmp dirs reclaimed, fresh ones left alone") {
+    val base = tmpDir("clhyg")
+    val cl = s"$base/changelog"
+    val t = new SnapshotTable(spark, s"$base/table", numBuckets = 4)
+    t.merge(
+      spark
+        .createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("a", "v1", 10L, 0, false)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "repo STRING, content STRING, __hlc_nanos BIGINT, __hlc_logical INT, __deleted BOOLEAN"
+          )
+        ),
+      Seq("repo"),
+      "k1",
+      graft.model.Hlc(10, 0)
+    )
+    Files.createDirectories(Paths.get(cl))
+    val stale = Paths.get(cl, ".tmp-deadbeef")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("junk"), "crashed writer leftovers")
+    Files.setLastModifiedTime(
+      stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60 * 60 * 1000L
+      )
+    )
+    val fresh = Paths.get(cl, ".tmp-12345678")
+    Files.createDirectories(fresh) // a live emitter's in-flight segment
+    assert(t.emitChangelog(cl) == 1)
+    assert(!Files.exists(stale), "stale tmp not reclaimed")
+    assert(Files.exists(fresh), "fresh tmp must be left alone")
+  }
+
   test("multi-table changelog: per-topic segments fold to per-topic state") {
     val base = tmpDir("mtlcl")
     val feedDir = s"$base/feed"
