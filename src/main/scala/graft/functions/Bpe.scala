@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -216,7 +216,10 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
   private val CountCacheCap = 262144
 
-  private[functions] def tokenCount(text: String, blob: String): Int = {
+  /** Public (not package-private): generated whole-stage code calls the
+    * static forwarder, which scalac only emits for public object members.
+    */
+  def tokenCount(text: String, blob: String): Int = {
     val ranks = internedRanks(blob)
     val bh = blob.hashCode
     var total = 0
@@ -236,17 +239,23 @@ object Bpe {
 
 /** Token count of `child` under the merges table `mergesBlob` (wire form of
   * [[Bpe.encodeMerges]]). Native expression, same shape as [[SimHash64]]:
-  * the kernel is a per-row loop, CodegenFallback keeps neighbors fused.
+  * the kernel is a per-row loop behind one static call, and the (large)
+  * merges blob rides as a referenced object — never inlined into
+  * generated source.
   */
 case class BpeCount(child: Expression, mergesBlob: String)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     java.lang.Integer.valueOf(Bpe.tokenCount(s, mergesBlob))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val blobRef = ctx.addReferenceObj("mergesBlob", mergesBlob, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.tokenCount($c.toString(), $blobRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCount =

@@ -3,7 +3,7 @@ package graft.functions
 import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 // (JsonParser used for the signature of stripParsed)
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,8 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly as for the plain ndjson envelope.
   */
 case class JsonDropKeys(child: Expression, dropKeys: Seq[String])
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   require(dropKeys.nonEmpty)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -38,6 +37,16 @@ case class JsonDropKeys(child: Expression, dropKeys: Seq[String])
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     UTF8String.fromString(JsonDropKeys.strip(s, dropSet))
+  }
+
+  // the drop set rides as a broadcast-referenced object; the parse kernel
+  // is one static call, so the feed-decode projection stays whole-stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef =
+      ctx.addReferenceObj("dropSet", dropSet, "scala.collection.immutable.Set")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.JsonDropKeys.strip($c.toString(), $setRef));""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): JsonDropKeys =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,8 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * sketches).
   */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && numHashes > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -31,6 +30,15 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     val s = input.asInstanceOf[UTF8String].toString
     new GenericArrayData(MinHashSig.signature(s, k, numHashes))
   }
+
+  // codegen: the kernel stays one static JIT'd call, but the surrounding
+  // project/filter pipeline keeps whole-stage codegen (CodegenFallback
+  // would break the fused span around the hottest expression in the
+  // dedup path)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSig.signature($c.toString(), $k, $numHashes));""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

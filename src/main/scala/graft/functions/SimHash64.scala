@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,12 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Implemented as a native Catalyst `Expression` (not a Scala UDF) so the
   * kernel runs inside the operator pipeline without SerDe per row; the eval
-  * itself is a tight token loop. CodegenFallback keeps surrounding operators
-  * in whole-stage codegen.
+  * itself is a tight token loop, and `doGenCode` keeps the surrounding
+  * operators inside whole-stage codegen (the kernel is one static call).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -26,6 +25,9 @@ case class SimHash64(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     java.lang.Long.valueOf(SimHash64.simhash(s))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.simhash($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,8 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * document-fingerprint dedup / overlap detection over the text corpus.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -28,6 +27,11 @@ case class Winnow(child: Expression, k: Int, w: Int)
     val s = input.asInstanceOf[UTF8String].toString
     new GenericArrayData(Winnow.fingerprints(s, k, w))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Winnow.fingerprints($c.toString(), $k, $w));""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
