@@ -135,6 +135,29 @@ object ExplainMain {
       t.changesBetween(1, 2).explain("formatted")
     }
 
+    // custom-expression codegen: the five graft kernels implement doGenCode,
+    // so a signature projection must be ONE fused WholeStageCodegen span with
+    // the static kernel calls inside the generated source (CodegenFallback
+    // would split the span and interpret the hottest expressions)
+    locally {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+          col("doc_id"),
+          graft.functions.GraftFunctions.minhash(col("text"), 9, 32).as("mh"),
+          graft.functions.GraftFunctions.simhash64(col("text")).as("sh"),
+          graft.functions.GraftFunctions.winnow(col("text"), 8, 4).as("wn")
+        )
+      val cg = org.apache.spark.sql.execution.debug
+        .codegenString(docs.queryExecution.executedPlan)
+      println("=== hash-kernel projection (expect 1 WholeStageCodegen span, " +
+        "kernels inside the generated source) ===")
+      println(cg.linesIterator.take(2).mkString("\n"))
+      Seq("MinHashSig.signature", "SimHash64.simhash", "Winnow.fingerprints")
+        .foreach(k => println(s"  $k inside codegen: ${cg.contains(k)}"))
+    }
+
     {
       import spark.implicits._
       val left = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("id", "key", "t")

@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * broadcast-as-literal merges blob: the ranks table is decoded once per
   * executor (interned by blob hash), encoded word counts are memoized
   * per-executor (Zipf makes the hit rate very high), and the expression
-  * stays inside the operator pipeline with CodegenFallback like the other
-  * graft kernels.
+  * participates in whole-stage codegen as a single static kernel call like
+  * the other graft kernels.
   */
 object Bpe {
 
