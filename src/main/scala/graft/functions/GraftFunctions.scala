@@ -59,6 +59,29 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      {
+        case Seq(c, k) =>
+          ShingleHashes(c, k.eval().asInstanceOf[Number].intValue())
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_shingle_hashes expects (text, k), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_sig_agree",
+      {
+        case Seq(a, b) => SigAgree(a, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_sig_agree expects (sigA, sigB), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_winnow",
       {
         case Seq(c) => Winnow(c, 7, 8)
@@ -105,6 +128,22 @@ object GraftFunctions {
       c,
       org.apache.spark.sql.functions.lit(mergesBlob)
     )
+
+  /** Distinct hashed character k-gram shingles `array<long>` (requires
+    * [[register]]).
+    */
+  def shingleHashes(c: Column, k: Int): Column =
+    call_function(
+      "graft_shingle_hashes",
+      c,
+      org.apache.spark.sql.functions.lit(k)
+    )
+
+  /** Positions where two `array<long>` signatures agree (requires
+    * [[register]]).
+    */
+  def sigAgree(a: Column, b: Column): Column =
+    call_function("graft_sig_agree", a, b)
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */
   def winnow(c: Column, k: Int = 7, w: Int = 8): Column =

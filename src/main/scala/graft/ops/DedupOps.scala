@@ -154,12 +154,12 @@ object DedupOps {
           .filter(col("id_a") < col("id_b"))
           .withColumn(
             "est_jaccard",
-            size(
-              filter(
-                zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-                x => x
-              )
-            ).cast("double") / numHashes
+            // native agree-count kernel: one loop, no per-pair intermediate
+            // arrays (this runs on every band collision, the hottest row
+            // count in the pipeline)
+            graft.functions.GraftFunctions
+              .sigAgree(col("sig_a"), col("sig_b"))
+              .cast("double") / numHashes
           )
           .filter(col("est_jaccard") >= t)
         // est_jaccard is a pure function of the pair, so the distinct over
@@ -223,11 +223,13 @@ object DedupOps {
     // magnitude cheaper than UTF8 compares) and the join payload shrinks
     // ~4x. |A∩B| over 64-bit hashes equals the string-set value except on
     // hash collisions (≈1e-13 per pair at 500 shingles) — exact for every
-    // practical purpose, including the DuckDB all-pairs oracle.
+    // practical purpose, including the DuckDB all-pairs oracle. The hashing
+    // itself is the native one-pass [[graft.functions.ShingleHashes]]
+    // kernel (no per-window substring materialization).
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sh = df.select(
       col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
-        .as("sh")
+      graft.functions.GraftFunctions.shingleHashes(col(textCol), k).as("sh")
     )
     val na = size(col("sh_a"))
     val nb = size(col("sh_b"))
@@ -376,10 +378,11 @@ object DedupOps {
       idCol: String,
       k: Int = 13
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
     def grams(df: DataFrame, cols: Column*): DataFrame =
       df.select(
         (cols :+ explode(
-          array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+          graft.functions.GraftFunctions.shingleHashes(col(textCol), k)
         ).as("g")): _*
       )
     val evalGrams = grams(eval_).distinct()

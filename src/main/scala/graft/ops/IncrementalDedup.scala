@@ -82,7 +82,7 @@ object IncrementalDedup {
   }
 
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), x => x)).cast("double") / numHashes
+    graft.functions.GraftFunctions.sigAgree(a, b).cast("double") / numHashes
 
   /** Admit one batch against the accepted corpus's band index.
     *

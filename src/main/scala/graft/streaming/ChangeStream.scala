@@ -52,7 +52,10 @@ private[streaming] final case class KeyState(
   * `insert` (was absent/deleted, now live), `update` (live before and
   * after), `delete` (was live, now tombstoned). A tombstone for a key
   * that was never live advances the state silently — dead on arrival is
-  * not a visible change.
+  * not a visible change. A consumer that needs EVERY intermediate
+  * transition (not just the per-batch winner) should bound micro-batch
+  * size (`maxFilesPerTrigger` / smaller trigger intervals) so fewer
+  * versions of one key coalesce into a batch.
   */
 object ChangeStream {
 

@@ -14,7 +14,7 @@ import graft.functions.GraftFunctions
 class CodegenSpec extends SparkSpec {
   import spark.implicits._
 
-  test("all five custom expressions stay inside whole-stage codegen") {
+  test("all custom expressions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val merges = graft.functions.Bpe.encodeMerges(
       graft.functions.Bpe.learn(
@@ -40,7 +40,14 @@ class CodegenSpec extends SparkSpec {
       GraftFunctions.simhash64(col("t")).as("sh"),
       GraftFunctions.winnow(col("t"), 4, 3).as("wn"),
       GraftFunctions.bpeCount(col("t"), merges).as("bc"),
-      GraftFunctions.jsonDropKeys(col("j"), "__crdb__").as("jd")
+      GraftFunctions.jsonDropKeys(col("j"), "__crdb__").as("jd"),
+      GraftFunctions
+        .sigAgree(
+          GraftFunctions.minhash(col("t"), 5, 8),
+          GraftFunctions.minhash(concat(col("t"), lit("x")), 5, 8)
+        )
+        .as("sa"),
+      GraftFunctions.shingleHashes(col("t"), 5).as("shh")
     )
 
     val cg = org.apache.spark.sql.execution.debug.codegenString(
@@ -51,7 +58,9 @@ class CodegenSpec extends SparkSpec {
       "SimHash64.simhash",
       "Winnow.fingerprints",
       "Bpe.tokenCount",
-      "JsonDropKeys.strip"
+      "JsonDropKeys.strip",
+      "SigAgree.agree",
+      "ShingleHashes.hashes"
     ).foreach { kernel =>
       assert(cg.contains(kernel), s"$kernel not in generated code:\n${cg.take(2000)}")
     }
@@ -65,6 +74,64 @@ class CodegenSpec extends SparkSpec {
       assert(r.getAs[Int]("bc") > 0)
       assert(r.getAs[String]("jd").contains("\"b\""))
       assert(!r.getAs[String]("jd").contains("__crdb__"))
+      val sa = r.getAs[Int]("sa")
+      assert(sa >= 0 && sa <= 8)
+      assert(r.getSeq[Long](r.fieldIndex("shh")).nonEmpty)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("SigAgree equals the composed zip_with agreement count") {
+    GraftFunctions.register(spark)
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .select(
+        GraftFunctions.minhash(col("text"), 5, 32).as("s1"),
+        GraftFunctions.minhash(reverse(col("text")), 5, 32).as("s2")
+      )
+    val cmp = df.select(
+      GraftFunctions.sigAgree(col("s1"), col("s2")).as("native"),
+      size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b), x => x))
+        .as("composed"),
+      GraftFunctions.sigAgree(col("s1"), col("s1")).as("self")
+    )
+    assert(cmp.filter(col("native") =!= col("composed")).count() == 0)
+    assert(cmp.filter(col("self") =!= 32).count() == 0)
+  }
+
+  test(
+    "ShingleHashes set semantics equal the composed string-shingle form"
+  ) {
+    GraftFunctions.register(spark)
+    import graft.ops.DedupOps.shingles
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    // (1) per-doc distinct count: the native hash family is injective on
+    //     the fixture iff every doc's hash-set size matches its string-set
+    //     size (includes the short-text single-shingle branch)
+    val sizes = docs.select(
+      size(GraftFunctions.shingleHashes(col("text"), 5)).as("native"),
+      size(array_distinct(shingles(col("text"), 5))).as("composed")
+    )
+    assert(sizes.filter(col("native") =!= col("composed")).count() == 0)
+    // (2) pairwise intersection counts: the quantity every downstream
+    //     consumer (jaccardVerify, contaminatedIds) actually reads
+    val sh = docs.select(
+      col("doc_id"),
+      GraftFunctions.shingleHashes(col("text"), 5).as("hs"),
+      array_distinct(shingles(col("text"), 5)).as("ss")
+    )
+    val a = sh.selectExpr("doc_id AS id_a", "hs AS hs_a", "ss AS ss_a")
+    val b = sh.selectExpr("doc_id AS id_b", "hs AS hs_b", "ss AS ss_b")
+    val pairs = a
+      .crossJoin(b)
+      .filter(col("id_a") < col("id_b") && col("id_b") < col("id_a") + 5)
+      .select(
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("native"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).as("composed")
+      )
+    assert(pairs.count() > 50)
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
   }
 }
