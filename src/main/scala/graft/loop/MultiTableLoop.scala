@@ -212,26 +212,45 @@ final class MultiTableLoop(
                 spark, t.spec, window, saltBuckets,
                 dedup = t.spec.config.casColumns.nonEmpty,
                 observedFields = Some(t.stage.observedFields().toSeq))
-              val (gated, casCleanup) = ApplyPlanner.casGate(
-                t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
-              t.table.merge(
-                gated,
-                planned.pkCols,
-                idempotenceKey = s"fence-${target.format}",
-                resolved = target,
-                lineage = Seq(s"batch=$batchId", s"topic=$topic"),
-                extraMetrics = Map("merged_through_seq" -> seqNow)
-              )
-              casCleanup()
-              // changelog BEFORE vacuum: segments diff against the previous
-              // version's manifest, which vacuum may retire
-              changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
-              t.stage.retire(target)
-              // bound version growth exactly as ReplayLoop does: at
-              // streaming cadence every fence commits a new version per
-              // table, so the fan path needs the same vacuum or storage
-              // (and the gcHorizon back-walk) grows without bound
-              vacuumKeepVersions.foreach(t.table.vacuum(_))
+              try {
+                val (gated, casCleanup) = ApplyPlanner.casGate(
+                  t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
+                t.table.merge(
+                  gated,
+                  planned.pkCols,
+                  idempotenceKey = s"fence-${target.format}",
+                  resolved = target,
+                  lineage = Seq(s"batch=$batchId", s"topic=$topic"),
+                  extraMetrics = Map("merged_through_seq" -> seqNow)
+                )
+                casCleanup()
+                // changelog BEFORE vacuum: segments diff against the previous
+                // version's manifest, which vacuum may retire
+                changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
+                t.stage.retire(target)
+                // bound version growth exactly as ReplayLoop does: at
+                // streaming cadence every fence commits a new version per
+                // table, so the fan path needs the same vacuum or storage
+                // (and the gcHorizon back-walk) grows without bound
+                vacuumKeepVersions.foreach(t.table.vacuum(_))
+              } catch {
+                // same optimistic-concurrency loser path as ReplayLoop's
+                // mergeToFence: a competing applier retired this topic's
+                // staged files mid-read AND its commit covers our target —
+                // the commit log would have no-op'd us anyway
+                case e: Throwable
+                    if ReplayLoop.isMissingFileRead(e) && {
+                      val now = t.table.log
+                        .latest()
+                        .map(m => Hlc(m.resolvedNanos, m.resolvedLogical))
+                        .getOrElse(Hlc.Zero)
+                      now >= target
+                    } =>
+                  println(
+                    s"[graft][fan] topic=$topic fence ${target.format} " +
+                      "already applied by a concurrent writer; no-op"
+                  )
+              }
             }
           }
         }

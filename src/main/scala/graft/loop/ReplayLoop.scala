@@ -371,27 +371,44 @@ final class ReplayLoop(
         // field set was collected while staging: no summary scan here
         observedFields = Some(stage.observedFields().toSeq))
     }
-    val (gated, casCleanup) =
-      ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
-    timed(s"merge fence=${target.format}", batchId) {
-      table.merge(
-        batch = gated,
-        pkCols = planned.pkCols,
-        idempotenceKey = s"fence-${target.format}",
-        resolved = target,
-        lineage = lineage,
-        extraMetrics =
-          Map("merged_through_seq" -> seqNow) ++
-            (if (resolvedFromFilenames) Map("delivered_mtime_hw" -> deliveredMtimeHw)
-             else Map.empty)
-      )
+    try {
+      val (gated, casCleanup) =
+        ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
+      timed(s"merge fence=${target.format}", batchId) {
+        table.merge(
+          batch = gated,
+          pkCols = planned.pkCols,
+          idempotenceKey = s"fence-${target.format}",
+          resolved = target,
+          lineage = lineage,
+          extraMetrics =
+            Map("merged_through_seq" -> seqNow) ++
+              (if (resolvedFromFilenames) Map("delivered_mtime_hw" -> deliveredMtimeHw)
+               else Map.empty)
+        )
+      }
+      casCleanup()
+      // changelog BEFORE vacuum: the new segment diffs against the previous
+      // version's manifest, which vacuum may retire
+      changelogDir.foreach(table.emitChangelog)
+      stage.retire(target)
+      vacuumKeepVersions.foreach(table.vacuum(_))
+    } catch {
+      // Optimistic-concurrency loser whose CONFLICT surfaced as a failed
+      // READ rather than a commit-log no-op: a competing applier (HA
+      // restart overlap — two drivers on one table) merged this window and
+      // RETIRED its staged files while our lazy scan was mid-flight. The
+      // competitor's commit proves every retired row was applied, so if
+      // the committed fence now covers our target this attempt is the
+      // same no-op the commit log would have made it — swallow and let the
+      // next batch proceed against the new head. Any read failure NOT
+      // explained by a covering commit is real data loss and re-raises.
+      case e: Throwable if ReplayLoop.isMissingFileRead(e) && committedFence >= target =>
+        println(
+          s"[graft][replay] fence ${target.format} already applied by a " +
+            "concurrent writer (staged files retired mid-read); no-op"
+        )
     }
-    casCleanup()
-    // changelog BEFORE vacuum: the new segment diffs against the previous
-    // version's manifest, which vacuum may retire
-    changelogDir.foreach(table.emitChangelog)
-    stage.retire(target)
-    vacuumKeepVersions.foreach(table.vacuum(_))
   }
 
   /** Every regular file in the feed tree (depth 2 — top level plus chunk
@@ -647,6 +664,29 @@ final class ReplayLoop(
 }
 
 object ReplayLoop {
+
+  /** True when the failure chain bottoms out in a missing input file —
+    * the signature of a concurrent applier retiring staged partitions
+    * mid-scan (Spark 4 wraps it as `FAILED_READ_FILE.FILE_NOT_EXIST`;
+    * older paths surface a raw `FileNotFoundException`).
+    */
+  def isMissingFileRead(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = cur.getMessage
+          if (m != null &&
+            (m.contains("FILE_NOT_EXIST") || m.contains("does not exist")))
+            return true
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Distinct source files of a batch — cheap: file-name column only.
     * Feeds both the lineage record and the batch identity key; shared by

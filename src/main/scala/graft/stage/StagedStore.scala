@@ -50,6 +50,64 @@ final class StagedStore(
 
   private def bucketOf(nanos: Long): Long = Math.floorDiv(nanos, bucketNanos)
 
+  /** Write `staged` into a private scratch tree, then ADOPT the part files
+    * into the shared partition layout with driver-side renames (the same
+    * pattern [[StagedStore.appendMultiTopic]] always used).
+    *
+    * Two concurrent appenders writing `mode("append")` into one directory
+    * share the Hadoop committer's `_temporary` tree: the first job's
+    * cleanup deletes the second's in-flight task files, failing it with
+    * TASK_WRITE_FAILED — the write-side face of an HA restart overlap
+    * (two drivers on one staging store). A per-append scratch dir gives
+    * every job a private committer tree; adoption is per-file rename
+    * (part names carry the job UUID, so two appenders can adopt into one
+    * bucket dir without name collisions). A concurrent retire may drop
+    * the target dir between create and move — retried, recreating the
+    * dir; the row is then re-merged from this fresh file or already
+    * covered by the competitor's fence.
+    */
+  private def writeAdopt(staged: DataFrame): Unit = {
+    // reclaim orphans of killed writers (a scratch tree is live for the
+    // duration of one append job; 30 min is far past any batch)
+    graft.util.Dirs.listDir(Paths.get(root)).foreach { p =>
+      if (p.getFileName.toString.startsWith("_scratch-") &&
+        Files.getLastModifiedTime(p).toMillis < System.currentTimeMillis() - 30 * 60 * 1000L)
+        rmTree(p)
+    }
+    val scratch = Files.createTempDirectory(Paths.get(root), "_scratch-")
+    try {
+      val out = scratch.resolve("out").toString
+      staged.write.mode("overwrite").partitionBy(TS_BUCKET).parquet(out)
+      graft.util.Dirs.listDir(Paths.get(out)).foreach { bucketDir =>
+        val name = bucketDir.getFileName.toString
+        if (name.startsWith(s"$TS_BUCKET=")) {
+          val target = Paths.get(dataDir, name)
+          graft.util.Dirs.listDir(bucketDir).foreach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              var tries = 0
+              var done = false
+              while (!done) {
+                try {
+                  Files.createDirectories(target)
+                  Files.move(f, target.resolve(f.getFileName))
+                  done = true
+                } catch {
+                  case _: java.nio.file.NoSuchFileException if tries < 3 =>
+                    tries += 1
+                }
+              }
+            }
+          }
+        }
+      }
+    } finally rmTree(scratch)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) graft.util.Dirs.listDir(p).foreach(rmTree)
+    Files.deleteIfExists(p)
+  }
+
   /** Monotone append counter, persisted across restarts. Every successful
     * (non-replayed) [[append]] stamps its rows with the next value; the
     * replay loop records the counter at merge time so later merges can
@@ -106,16 +164,13 @@ final class StagedStore(
         val obs = org.apache.spark.sql.Observation(
           s"stage-$batchId-${java.util.UUID.randomUUID()}"
         )
-        staged
-          .observe(
+        writeAdopt(
+          staged.observe(
             obs,
             array_distinct(flatten(collect_set(expr("json_object_keys(data)"))))
               .as("fields")
           )
-          .write
-          .mode("append")
-          .partitionBy(TS_BUCKET)
-          .parquet(dataDir)
+        )
         obs.get.get("fields") match {
           case Some(f: Seq[_]) => recordFields(f.map(_.toString))
           case _ => ()
@@ -137,8 +192,8 @@ final class StagedStore(
         val obs = org.apache.spark.sql.Observation(
           s"stage-$batchId-${java.util.UUID.randomUUID()}"
         )
-        staged
-          .observe(
+        writeAdopt(
+          staged.observe(
             obs,
             collect_set(size(from_json(col("key"), org.apache.spark.sql.types.ArrayType(StringType))))
               .as("arities"),
@@ -146,10 +201,7 @@ final class StagedStore(
               .as("fields"),
             max(when(missingPkCond, 1).otherwise(0)).as("missing_pk")
           )
-          .write
-          .mode("append")
-          .partitionBy(TS_BUCKET)
-          .parquet(dataDir)
+        )
         val m = obs.get
         val arities = m("arities").asInstanceOf[Seq[Int]]
         val fields = m("fields").asInstanceOf[Seq[String]]

@@ -262,4 +262,23 @@ class ConcurrentWriterSpec extends SparkSpec {
     loopC.runAvailableNow()
     assertConverged(base, "restart overlap")
   }
+
+  test("missing-file-read detector unwraps the Spark 4 failure chain") {
+    import graft.loop.ReplayLoop.isMissingFileRead
+    assert(isMissingFileRead(new java.io.FileNotFoundException("/x/y.parquet")))
+    assert(
+      isMissingFileRead(
+        new RuntimeException(
+          "outer",
+          new RuntimeException(
+            "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error while reading file"
+          )
+        )
+      )
+    )
+    assert(!isMissingFileRead(new RuntimeException("plain failure")))
+    // a cycle-free walk even on pathological self-caused chains
+    val self = new RuntimeException("loop")
+    assert(!isMissingFileRead(new RuntimeException("outer", self)))
+  }
 }
