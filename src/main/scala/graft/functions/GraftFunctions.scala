@@ -59,6 +59,33 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_cosine",
+      {
+        case Seq(a, b) => CosineSim(a, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_cosine expects (vecA, vecB), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_code",
+      {
+        case Seq(v, bits, band) =>
+          LshCode(
+            v,
+            bits.eval().asInstanceOf[Number].intValue(),
+            band.eval().asInstanceOf[Number].intValue()
+          )
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_lsh_code expects (vec, bits, band), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       {
         case Seq(c, k) =>
@@ -127,6 +154,21 @@ object GraftFunctions {
       "graft_bpe_count",
       c,
       org.apache.spark.sql.functions.lit(mergesBlob)
+    )
+
+  /** One-pass cosine similarity of two `array<float>` columns (requires
+    * [[register]]).
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** One-pass random-hyperplane LSH code (requires [[register]]). */
+  def lshCode(vec: Column, bits: Int, band: Int): Column =
+    call_function(
+      "graft_lsh_code",
+      vec,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(band)
     )
 
   /** Distinct hashed character k-gram shingles `array<long>` (requires

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
   *
-  *  - [[cosine]] / [[dot]]: pure-Catalyst vector math (`zip_with` +
-  *    `aggregate`) — codegen'd, no UDF;
+  *  - [[cosine]]: native one-pass kernel (dot + norms in a single loop,
+  *    bit-identical to the declarative `zip_with`+`aggregate` folds);
+  *    [[dot]] stays pure-Catalyst for the centroid-literal IVF path;
   *  - [[knnBruteForce]]: exact top-k — broadcast the (small) query set
   *    against the full base scan; one pass, no shuffle of the base table;
   *  - [[lshBucketKnn]]: the scale path — random-hyperplane LSH codes
@@ -29,7 +30,19 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity — the native one-pass kernel
+    * ([[graft.functions.CosineSim]]: dot + both norms in a single loop,
+    * no zipped-array allocations, bit-identical accumulation order).
+    * Requires `GraftFunctions.register` (every public entry point below
+    * does it).
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
+
+  /** The composed-builtins cosine, kept as the cross-check oracle for the
+    * native kernel (same folds the declarative form always ran).
+    */
+  private[graft] def cosineDeclarative(a: Column, b: Column): Column =
     dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12)))
 
   /** Exact top-k neighbors for each query vector.
@@ -44,6 +57,7 @@ object SimilarityOps {
       base: DataFrame, // (id, vec)
       k: Int = 10
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
     val joined = base.crossJoin(broadcast(queries))
     val scored = joined.withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
@@ -74,9 +88,22 @@ object SimilarityOps {
   }
 
   /** LSH bucket code with `bits` hyperplanes. `band` offsets the hyperplane
-    * seeds so each band is an independent hash family.
+    * seeds so each band is an independent hash family. Native one-pass
+    * kernel ([[graft.functions.LshCode]]); bit-identical to
+    * [[lshCodeDeclarative]] (golden-tested — same `xxhash64(p, i)` weights
+    * via `XXH64.hashInt`, same per-plane accumulation order).
     */
   def lshCode(vec: Column, bits: Int = 8, band: Int = 0): Column =
+    graft.functions.GraftFunctions.lshCode(vec, bits, band)
+
+  /** The composed per-plane formulation, kept as the cross-check oracle
+    * for the native kernel.
+    */
+  private[graft] def lshCodeDeclarative(
+      vec: Column,
+      bits: Int = 8,
+      band: Int = 0
+  ): Column =
     (0 until bits)
       .map(p => shiftleft(planeBit(vec, band * bits + p), p))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -118,6 +145,7 @@ object SimilarityOps {
         */
       maxBucketSize: Int = 100000
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
     val baseCoded = capBuckets(
       base.withColumn("code", lshCode(col("vec"), bits)),
       Seq("code"),
@@ -164,6 +192,7 @@ object SimilarityOps {
       bands: Int = 12,
       maxBucketSize: Int = 2000
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val coded = df.select(
       col("id"),
       explode(

@@ -134,4 +134,71 @@ class CodegenSpec extends SparkSpec {
     assert(pairs.count() > 50)
     assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
   }
+
+  test("CosineSim and LshCode are bit-identical to the declarative forms") {
+    GraftFunctions.register(spark)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val a = emb.selectExpr("vec_id AS ida", "vec AS va")
+    val b = emb.selectExpr("vec_id AS idb", "vec AS vb")
+    val pairs = a
+      .crossJoin(b)
+      .filter(col("ida") < col("idb") && col("idb") < col("ida") + 4)
+      .select(
+        GraftFunctions.cosineSim(col("va"), col("vb")).as("native"),
+        graft.ops.SimilarityOps
+          .cosineDeclarative(col("va"), col("vb"))
+          .as("composed"),
+        // the array<double> path (near-dup queries cast before scoring):
+        // getFloat on a double array reads garbage — this caught it
+        GraftFunctions
+          .cosineSim(
+            transform(col("va"), x => x.cast("double")),
+            transform(col("vb"), x => x.cast("double"))
+          )
+          .as("native_d"),
+        graft.ops.SimilarityOps
+          .cosineDeclarative(
+            transform(col("va"), x => x.cast("double")),
+            transform(col("vb"), x => x.cast("double"))
+          )
+          .as("composed_d")
+      )
+    assert(pairs.count() > 50)
+    // EXACT double equality: same accumulation order, same guard formula
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+    assert(pairs.filter(col("native_d") =!= col("composed_d")).count() == 0)
+
+    val codes = emb.select(
+      GraftFunctions.lshCode(col("vec"), 8, 0).as("n0"),
+      graft.ops.SimilarityOps.lshCodeDeclarative(col("vec"), 8, 0).as("c0"),
+      GraftFunctions.lshCode(col("vec"), 6, 5).as("n5"),
+      graft.ops.SimilarityOps.lshCodeDeclarative(col("vec"), 6, 5).as("c5"),
+      GraftFunctions
+        .lshCode(transform(col("vec"), x => x.cast("double")), 6, 3)
+        .as("nd"),
+      graft.ops.SimilarityOps
+        .lshCodeDeclarative(transform(col("vec"), x => x.cast("double")), 6, 3)
+        .as("cd")
+    )
+    assert(codes.filter(col("n0") =!= col("c0")).count() == 0)
+    assert(codes.filter(col("n5") =!= col("c5")).count() == 0)
+    assert(codes.filter(col("nd") =!= col("cd")).count() == 0)
+    // codes actually discriminate (not all rows in one bucket)
+    assert(codes.select(countDistinct(col("n0"))).head.getLong(0) > 1)
+
+    // both kernels sit inside the fused codegen span
+    val plan = emb
+      .select(
+        GraftFunctions.cosineSim(col("vec"), col("vec")).as("c"),
+        GraftFunctions.lshCode(col("vec"), 8, 0).as("l")
+      )
+      .queryExecution
+      .executedPlan
+    val cg = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(cg.contains("CosineSim.cosine"), cg.take(1500))
+    assert(cg.contains("LshCode.code"), cg.take(1500))
+  }
 }
