@@ -98,6 +98,17 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_sorted_intersect expects (sortedA, sortedB), got ${other.size} args"
+          )
+      },
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_sig_agree",
       {
         case Seq(a, b) => SigAgree(a, b)
@@ -186,6 +197,12 @@ object GraftFunctions {
     */
   def sigAgree(a: Column, b: Column): Column =
     call_function("graft_sig_agree", a, b)
+
+  /** `|A ∩ B|` of two ascending-sorted long arrays — the
+    * [[shingleHashes]] wire form (requires [[register]]).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */
   def winnow(c: Column, k: Int = 7, w: Int = 8): Column =

@@ -1,13 +1,18 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct 64-bit hashes of the character k-gram shingles of `child`,
-  * in first-occurrence order — one pass, no intermediate string arrays.
+  * SORTED ascending — one pass, no intermediate string arrays. The sorted
+  * contract is load-bearing: [[SortedIntersectCount]] merge-counts two of
+  * these arrays in O(n+m) with zero per-pair allocations, replacing
+  * `array_intersect`'s per-pair hash-set build in the exact-verify stage.
+  * (Set semantics — sizes, intersections — are order-invariant, so every
+  * other consumer is unaffected.)
   *
   * Replaces the composed form
   * `array_distinct(transform(shingles(text, k), s => xxhash64(s)))`, which
@@ -85,6 +90,53 @@ object ShingleHashes {
       }
       i += 1
     }
-    if (cnt == m) out else java.util.Arrays.copyOf(out, cnt)
+    val res = if (cnt == m) out else java.util.Arrays.copyOf(out, cnt)
+    java.util.Arrays.sort(res)
+    res
+  }
+}
+
+/** `|A ∩ B|` of two ascending-sorted `array<long>` columns (the
+  * [[ShingleHashes]] wire form) — a single merge walk, no per-pair hash
+  * set. Equal to `size(array_intersect(a, b))` for distinct sorted inputs
+  * (golden-tested); behavior on unsorted input is undefined, so this
+  * expression is package-wired only against [[ShingleHashes]] outputs.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): SortedIntersectCount = copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 }

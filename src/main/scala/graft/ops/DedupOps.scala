@@ -233,7 +233,10 @@ object DedupOps {
     )
     val na = size(col("sh_a"))
     val nb = size(col("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // ShingleHashes emits SORTED arrays, so the intersect is one merge
+    // walk per pair — no per-pair hash-set build (array_intersect's cost)
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

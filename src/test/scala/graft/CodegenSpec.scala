@@ -129,10 +129,24 @@ class CodegenSpec extends SparkSpec {
       .filter(col("id_a") < col("id_b") && col("id_b") < col("id_a") + 5)
       .select(
         size(array_intersect(col("hs_a"), col("hs_b"))).as("native"),
-        size(array_intersect(col("ss_a"), col("ss_b"))).as("composed")
+        size(array_intersect(col("ss_a"), col("ss_b"))).as("composed"),
+        GraftFunctions
+          .sortedIntersectCount(col("hs_a"), col("hs_b"))
+          .as("merged")
       )
     assert(pairs.count() > 50)
     assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+    // the merge-walk intersect needs the SORTED contract and must agree
+    // with the hash-set builtin on every pair
+    assert(pairs.filter(col("merged") =!= col("native")).count() == 0)
+    // the sorted contract itself
+    val unsorted = sh.select(
+      size(filter(
+        zip_with(col("hs"), slice(col("hs"), 2, 1000000), (x, y) => y <= x),
+        v => v
+      )).as("violations")
+    )
+    assert(unsorted.filter(col("violations") =!= 0).count() == 0)
   }
 
   test("CosineSim and LshCode are bit-identical to the declarative forms") {
