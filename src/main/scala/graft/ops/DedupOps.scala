@@ -295,31 +295,32 @@ object DedupOps {
     }
     val chunked = withSh.select(
       col("id"),
+      col("sh"),
       explode(
         array((0 until chunks).map { c =>
           struct(lit(c).as("chunk"), chunkKey(c).as("ckey"))
         }: _*)
       ).as("cc")
-    ).select(col("id"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    ).select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
 
     // crowded-bucket cap (same pattern as minhashCandidatePairs)
     val sized = SimilarityOps.capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)
 
-    // ids-only through the chunk join; signatures re-attached once per
-    // DEDUPED candidate pair for the exact Hamming verify
-    val l = sized.select(col("chunk"), col("ckey"), col("id").as("id_a"))
-    val r = sized.select(col("chunk"), col("ckey"), col("id").as("id_b"))
-    val pairs = l
+    // unlike the 264-byte MinHash signatures (re-attached per deduped
+    // pair), the 8-byte fingerprint RIDES the chunk join: carrying one
+    // long per banded row is cheaper than re-scanning and re-hashing the
+    // corpus twice for the re-attach joins — at any scale
+    val l = sized.select(
+      col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sized.select(
+      col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l
       .join(r, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      // sh is a pure function of id, so the pair dedup collapses
+      // multi-chunk collisions exactly as the ids-only distinct did
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
-
-    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    pairs
-      .join(shA, "id_a")
-      .join(shB, "id_b")
       .select(
         col("id_a"),
         col("id_b"),
