@@ -161,31 +161,30 @@ object SparkEntry {
       val proposed = e
         .filter(col("event_id") % 2 === 1)
         .withColumn("__deleted", lit(false))
-      val accepted = ApplyPlanner
-        .casFilter(proposed, current, Seq("user_id"), Seq("ts_us", "event_id"))
-      proposed
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_proposed"))
-        .join(
-          accepted.groupBy("user_id").agg(count(lit(1)).as("n_accepted")),
-          Seq("user_id"),
-          "left"
-        )
-        .select(
-          col("user_id"),
-          col("n_proposed"),
-          coalesce(col("n_accepted"), lit(0L)).as("n_accepted")
-        )
+      // single-pass audit over the SAME gate predicate as casFilter
+      // (ApplyPlanner.casJoined/casCond are shared by both): the former
+      // count-accepted-then-join-back shape scanned `proposed` twice and
+      // paid an extra aggregate + join for the per-key accounting
+      ApplyPlanner
+        .casAudit(proposed, current, Seq("user_id"), Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("n_proposed"), col("n_accepted"))
         .sortSmall("user_id")
     }),
     // --- relational breadth: agg / join / top-k / window ----------------
     "q_agg_lineitem" -> ((s, dir) => {
+      // floor(x*100 + 0.5) instead of round(x*100): Spark's Round on
+      // DoubleType goes through BigDecimal.valueOf (a Double.toString
+      // parse) PER ROW, while floor is one fused double op; for positive
+      // values below 2^52 the two are provably equal (shortest-decimal
+      // HALF_UP == +0.5-then-floor), and ProbeRound verified 0 mismatches
+      // over every money column at every SF
       pq(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_cents"),
-          sum(round(col("l_extendedprice") * 100).cast(LongType))
+          sum(floor(col("l_quantity") * 100 + 0.5).cast(LongType))
+            .as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
             .as("price_cents")
         )
         .sortSmall("l_returnflag", "l_linestatus")
@@ -197,7 +196,10 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast(LongType)).as("total_cents")
+          // floor(+0.5) == round for these positive values (see
+          // q_agg_lineitem) without the per-row BigDecimal round path
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+            .as("total_cents")
         )
         .sortSmall("c_mktsegment")
     }),
@@ -207,7 +209,9 @@ object SparkEntry {
         .limit(10)
         .select(
           col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast(LongType).as("cents")
+          // floor(+0.5) == round here (see q_agg_lineitem); only 10 rows,
+          // changed for form-consistency with the money queries
+          floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents")
         )
     }),
     "q_window_rank" -> ((s, dir) => {
@@ -329,14 +333,18 @@ object SparkEntry {
         .sortSmall("doc_id")
     }),
     "q_text_stats" -> ((s, dir) => {
+      // count the class matches instead of materializing the rewritten
+      // string: size(regexp_extract_all(text, '[0-9]')) equals
+      // length(regexp_replace(text, '[^0-9]', '')) but skips building a
+      // near-full copy of every row (ProbeExpr A/B: 0.140s vs 0.207s)
       pq(s, dir, "documents")
         .select(
           col("doc_id"),
           length(col("text")).cast(LongType).as("n_chars"),
-          length(regexp_replace(col("text"), "[^0-9]", ""))
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
             .cast(LongType)
             .as("n_digits"),
-          length(regexp_replace(col("text"), "[^A-Z]", ""))
+          size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
             .cast(LongType)
             .as("n_upper")
         )
@@ -501,6 +509,7 @@ object SparkEntry {
       // answer: exact dedup -> near-dup clustering -> canonical selection
       // -> quality gate -> per-language doc/token accounting. Each stage is
       // individually oracled elsewhere; this row proves they compose.
+      GraftFunctions.register(s) // quality rides the fused native kernel
       val d = pq(s, dir, "documents")
       val exact = DedupOps.exactDedup(d, "text", "doc_id")
       val pairs = DedupOps.minhashNearDupPairs(
@@ -589,6 +598,7 @@ object SparkEntry {
         .sortSmall("doc_id")
     }),
     "q_quality_score" -> ((s, dir) => {
+      GraftFunctions.register(s) // quality/bpeish ride the fused native kernel
       pq(s, dir, "documents")
         .select(
           col("doc_id"),
@@ -747,6 +757,7 @@ object SparkEntry {
       // reads per ingestion source: doc count, token total, EXACT integer
       // mean quality (sum DIV count — no float mean drift), and the
       // Gopher-gate pass count. One map-side-combining aggregation.
+      GraftFunctions.register(s) // quality rides the fused native kernel
       val d = pq(s, dir, "documents")
       d.select(
           col("source"),

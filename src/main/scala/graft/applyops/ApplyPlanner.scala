@@ -502,20 +502,68 @@ object ApplyPlanner {
       casColumns: Seq[String]
   ): DataFrame = {
     if (casColumns.isEmpty) return batch
+    casJoined(batch, current, pkCols, casColumns)
+      .filter(casCond(casColumns))
+      .drop((casColumns.map(c => s"__cur_$c") :+ "__cur_exists"): _*)
+  }
+
+  /** The left join of a batch against current rows that both the CAS filter
+    * and the CAS audit gate on — ONE definition so they cannot drift.
+    * Precondition (shared with [[casFilter]]): `current` has at most one
+    * row per key.
+    */
+  private def casJoined(
+      batch: DataFrame,
+      current: DataFrame,
+      pkCols: Seq[String],
+      casColumns: Seq[String]
+  ): DataFrame = {
     val curProj = current.select(
       (pkCols.map(col) ++
         casColumns.map(c => col(c).as(s"__cur_$c")) :+
         lit(true).as("__cur_exists")): _*
     )
-    val joined = batch.join(curProj, pkCols, "left")
+    batch.join(curProj, pkCols, "left")
+  }
+
+  /** The gate predicate over [[casJoined]] output: row passes iff it is a
+    * delete, has no current row, or its CAS tuple strictly beats the
+    * current one.
+    */
+  private def casCond(casColumns: Seq[String]): Column = {
     val proposed = struct(casColumns.map(col): _*)
     val curTuple = struct(casColumns.map(c => col(s"__cur_$c")): _*)
-    joined
-      .filter(
-        col(SnapshotTable.DELETED) ||
-          col("__cur_exists").isNull ||
-          proposed > curTuple
+    col(SnapshotTable.DELETED) ||
+      col("__cur_exists").isNull ||
+      proposed > curTuple
+  }
+
+  /** Per-key CAS acceptance accounting: `(pkCols..., n_proposed,
+    * n_accepted)` for every key with at least one batch row, over exactly
+    * the same join and gate predicate as [[casFilter]] (shared
+    * [[casJoined]]/[[casCond]] builders — the filter and the audit cannot
+    * disagree). ONE pass: the former audit shape at the q_cas_gate call
+    * site aggregated the batch a second time for `n_proposed` and joined
+    * the two counts back together — an extra batch scan, an extra
+    * aggregate, and an extra join per audit, all folded into this single
+    * aggregation over the join output (the left join against the ≤1-per-key
+    * `current` preserves batch cardinality, so `count(*)` IS `n_proposed`).
+    */
+  def casAudit(
+      batch: DataFrame,
+      current: DataFrame,
+      pkCols: Seq[String],
+      casColumns: Seq[String]
+  ): DataFrame = {
+    require(casColumns.nonEmpty, "casAudit needs CAS columns")
+    casJoined(batch, current, pkCols, casColumns)
+      .groupBy(pkCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_proposed"),
+        coalesce(
+          sum(when(casCond(casColumns), 1L).otherwise(0L)),
+          lit(0L)
+        ).as("n_accepted")
       )
-      .drop((casColumns.map(c => s"__cur_$c") :+ "__cur_exists"): _*)
   }
 }

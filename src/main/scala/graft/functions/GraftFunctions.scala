@@ -120,6 +120,11 @@ object GraftFunctions {
       "built-in"
     )
     reg.createOrReplaceTempFunction(
+      "graft_quality_counts",
+      exprs => QualityCounts(exprs.head),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
       "graft_winnow",
       {
         case Seq(c) => Winnow(c, 7, 8)
@@ -203,6 +208,12 @@ object GraftFunctions {
     */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+
+  /** One-pass text-feature counts struct `(n_toks, punct, digits, uppers,
+    * stop, bpeish)` — see [[QualityCounts]] (requires [[register]]).
+    */
+  def qualityCounts(c: Column): Column =
+    call_function("graft_quality_counts", c)
 
   /** Winnowing fingerprints `array<long>` (requires [[register]]). */
   def winnow(c: Column, k: Int = 7, w: Int = 8): Column =

@@ -110,67 +110,100 @@ object DedupOps {
       col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes).as("sig")
     )
-    // With a prefilter (minEst set), signatures RIDE the band join (a few
-    // hundred bytes per banded row): est_jaccard is then computable on the
-    // collided row itself, so the estimate drops false candidates BEFORE
-    // the dedup shuffle — measured much cheaper than an ids-only join
-    // followed by re-attaching signatures to every deduped candidate pair
-    // (two extra shuffle joins over the full candidate set). SKEW NOTE:
-    // that measurement assumes buckets near maxBucketSize are rare; a
-    // crowded-bucket-heavy corpus pays ~2 signatures (~numHashes*8 B each)
-    // per collided pair row, up to ~maxBucketSize²/2 pair rows per crowded
-    // bucket, which can invert the win. Without minEst the estimate buys
-    // nothing, so the join carries ids only.
+    // Candidate generation is ONE exchange: banded rows group by
+    // (band, bucket) and pairs are generated inside each bucket. The former
+    // self-join shape (l ⋈ r on the band key, capBuckets in front) planned
+    // the banded subtree FOUR times — twice for the join sides, twice for
+    // the crowded-bucket aggregate — i.e. four corpus scans and four
+    // signature passes per run; grouping computes the signature once and
+    // shuffles the banded bytes once. The bucket-size cap falls out for
+    // free as a size() filter on the collected bucket (identical semantics:
+    // capBuckets dropped every row of an over-cap bucket, so neither shape
+    // emits pairs from crowded buckets; size-1 buckets produce no pairs and
+    // are skipped too). Per-group memory is bounded by the cap
+    // (maxBucketSize * (8 B id + numHashes*8 B sig)).
+    //
+    // With a prefilter (minEst set), signatures ride the banded row (a few
+    // hundred bytes) so est_jaccard is computed inside the bucket and false
+    // candidates are dropped BEFORE the pair-dedup shuffle; the estimate
+    // uses the native agree-count kernel ([[graft.functions.SigAgree]]),
+    // evaluated per in-bucket pair. Without minEst the estimate buys
+    // nothing, so buckets collect ids only.
     val carrySig = minEst.isDefined
-    val sigCols = if (carrySig) Seq(col("sig")) else Nil
+    val member =
+      if (carrySig) struct(col("id"), col("sig")) else struct(col("id"))
     val banded = withSig
       .select(
-        (Seq(col("id")) ++ sigCols :+ explode(
+        member.as("m"),
+        explode(
           array((0 until bands).map { b =>
             struct(
               lit(b).as("band"),
               xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket")
             )
           }: _*)
-        ).as("bb")): _*
+        ).as("bb")
       )
-      .select(
-        (Seq(col("id")) ++ sigCols ++ Seq(
-          col("bb.band").as("band"),
-          col("bb.bucket").as("bucket")
-        )): _*
-      )
+      .select(col("m"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("m")).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucketSize)
 
-    val sized = SimilarityOps.capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-
+    val xs = col("xs")
     minEst match {
       case Some(t) =>
-        val l = sized.select(
-          col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-        val r = sized.select(
-          col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-        val collided = l
-          .join(r, Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn(
-            "est_jaccard",
-            // native agree-count kernel: one loop, no per-pair intermediate
-            // arrays (this runs on every band collision, the hottest row
-            // count in the pipeline)
-            graft.functions.GraftFunctions
-              .sigAgree(col("sig_a"), col("sig_b"))
-              .cast("double") / numHashes
+        // in-bucket ordered pairs with the estimate prefilter applied at
+        // the generation site; collect_list order is nondeterministic but
+        // the emitted PAIR SET (id_a < id_b) is order-invariant and
+        // est_jaccard is a pure function of the pair, so the distinct
+        // collapses multi-band collisions exactly as before
+        val pairsArr = flatten(
+          transform(
+            xs,
+            x =>
+              filter(
+                transform(
+                  filter(xs, y => x.getField("id") < y.getField("id")),
+                  y =>
+                    struct(
+                      x.getField("id").as("id_a"),
+                      y.getField("id").as("id_b"),
+                      (graft.functions.GraftFunctions
+                        .sigAgree(x.getField("sig"), y.getField("sig"))
+                        .cast("double") / numHashes).as("est_jaccard")
+                    )
+                ),
+                p => p.getField("est_jaccard") >= t
+              )
           )
-          .filter(col("est_jaccard") >= t)
-        // est_jaccard is a pure function of the pair, so the distinct over
-        // (id_a, id_b, est) collapses multi-band collisions exactly as before
-        collided.select("id_a", "id_b", "est_jaccard").distinct()
+        )
+        buckets
+          .select(explode(pairsArr).as("p"))
+          .select(
+            col("p.id_a").as("id_a"),
+            col("p.id_b").as("id_b"),
+            col("p.est_jaccard").as("est_jaccard")
+          )
+          .distinct()
       case None =>
-        val l = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-        val r = sized.select(col("band"), col("bucket"), col("id").as("id_b"))
-        l.join(r, Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
+        val pairsArr = flatten(
+          transform(
+            xs,
+            x =>
+              transform(
+                filter(xs, y => x.getField("id") < y.getField("id")),
+                y =>
+                  struct(
+                    x.getField("id").as("id_a"),
+                    y.getField("id").as("id_b")
+                  )
+              )
+          )
+        )
+        buckets
+          .select(explode(pairsArr).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .distinct()
     }
   }
@@ -294,32 +327,52 @@ object DedupOps {
       shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask))
     }
     val chunked = withSh.select(
-      col("id"),
-      col("sh"),
+      struct(col("id"), col("sh")).as("m"),
       explode(
         array((0 until chunks).map { c =>
           struct(lit(c).as("chunk"), chunkKey(c).as("ckey"))
         }: _*)
       ).as("cc")
-    ).select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    ).select(col("m"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
 
-    // crowded-bucket cap (same pattern as minhashCandidatePairs)
-    val sized = SimilarityOps.capBuckets(chunked, Seq("chunk", "ckey"), maxBucketSize)
-
-    // unlike the 264-byte MinHash signatures (re-attached per deduped
-    // pair), the 8-byte fingerprint RIDES the chunk join: carrying one
-    // long per banded row is cheaper than re-scanning and re-hashing the
-    // corpus twice for the re-attach joins — at any scale
-    val l = sized.select(
-      col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sized.select(
-      col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l
-      .join(r, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE exchange: group by (chunk, ckey) and emit pairs inside each
+    // bucket (same restructure as minhashCandidatePairs — the former
+    // self-join + capBuckets shape planned the fingerprint subtree four
+    // times). The 8-byte fingerprint rides the banded row, so the pair
+    // carries (sh_a, sh_b) with no corpus re-scan; the crowded-bucket cap
+    // is the size() filter (identical semantics to capBuckets: no pairs
+    // from over-cap buckets).
+    val buckets = chunked
+      .groupBy("chunk", "ckey")
+      .agg(collect_list(col("m")).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucketSize)
+    val xs = col("xs")
+    val pairsArr = flatten(
+      transform(
+        xs,
+        x =>
+          transform(
+            filter(xs, y => x.getField("id") < y.getField("id")),
+            y =>
+              struct(
+                x.getField("id").as("id_a"),
+                y.getField("id").as("id_b"),
+                x.getField("sh").as("sh_a"),
+                y.getField("sh").as("sh_b")
+              )
+          )
+      )
+    )
+    buckets
+      .select(explode(pairsArr).as("p"))
       // sh is a pure function of id, so the pair dedup collapses
       // multi-chunk collisions exactly as the ids-only distinct did
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(
+        col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"),
+        col("p.sh_b").as("sh_b")
+      )
       .distinct()
       .select(
         col("id_a"),
@@ -353,11 +406,32 @@ object DedupOps {
         array_distinct(graft.functions.GraftFunctions.winnow(col(textCol), k, w))
       ).as("fp")
     )
-    val capped = SimilarityOps.capBuckets(fps, Seq("fp"), maxBucketSize)
-    val l = capped.select(col("fp"), col("id").as("id_a"))
-    val r = capped.select(col("fp"), col("id").as("id_b"))
-    l.join(r, "fp")
-      .filter(col("id_a") < col("id_b"))
+    // ONE exchange: group by fingerprint and emit the in-bucket ordered
+    // pairs (same restructure as minhashCandidatePairs — the former
+    // capBuckets + self-join planned the winnow subtree four times). A
+    // doc's fps are array_distinct'ed before the explode, so each bucket
+    // holds distinct ids and each co-occurring pair is emitted exactly once
+    // per shared print — the shared_fps counts are unchanged. The crowded
+    // cap is the size() filter (capBuckets semantics: over-cap prints emit
+    // no pairs).
+    val buckets = fps
+      .groupBy("fp")
+      .agg(collect_list(col("id")).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucketSize)
+    val xs = col("xs")
+    val pairsArr = flatten(
+      transform(
+        xs,
+        x =>
+          transform(
+            filter(xs, y => x < y),
+            y => struct(x.as("id_a"), y.as("id_b"))
+          )
+      )
+    )
+    buckets
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

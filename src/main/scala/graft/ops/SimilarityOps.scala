@@ -162,8 +162,13 @@ object SimilarityOps {
     val joined = baseCoded.join(broadcast(qProbed), Seq("code"))
     val scored = joined.withColumn("cos", cosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    // no (qid, id) dedup needed: a base row carries exactly ONE code and a
+    // query's 1+bits probe codes are pairwise distinct (flipping different
+    // single bits of qCode yields distinct values, none equal to qCode), so
+    // each (query, base) pair can match at most one probe row — the former
+    // dropDuplicates("qid", "id") was a provable no-op costing a full
+    // exchange + aggregate on the candidate set
     scored
-      .dropDuplicates("qid", "id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "cos", "rank")
@@ -202,13 +207,30 @@ object SimilarityOps {
       ).as("bc")
     ).select(col("id"), col("bc.band").as("band"), col("bc.code").as("code"))
 
-    val sized = capBuckets(coded, Seq("band", "code"), maxBucketSize)
-    val l = sized.select(col("band"), col("code"), col("id").as("id_a"))
-    val r = sized.select(col("band"), col("code"), col("id").as("id_b"))
-    val pairs = l
-      .join(r, Seq("band", "code"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // ONE exchange for candidate generation: group by (band, code), emit
+    // ordered pairs inside each bucket (same restructure as
+    // DedupOps.minhashCandidatePairs — the former capBuckets + self-join
+    // planned the LSH-code subtree four times, i.e. four corpus scans and
+    // four code computations). The crowded cap is the size() filter
+    // (capBuckets semantics: over-cap buckets emit no pairs).
+    val buckets = coded
+      .groupBy("band", "code")
+      .agg(collect_list(col("id")).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucketSize)
+    val xsc = col("xs")
+    val pairsArr = flatten(
+      transform(
+        xsc,
+        x =>
+          transform(
+            filter(xsc, y => x < y),
+            y => struct(x.as("id_a"), y.as("id_b"))
+          )
+      )
+    )
+    val pairs = buckets
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
     val vecA = df.select(col("id").as("id_a"), col("vec").as("vec_a"))

@@ -125,7 +125,11 @@ object TextOps {
     * REAL learned-merges tokenizer, see [[learnBpe]] + [[bpeTokenCount]].
     */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    // native one-pass kernel; value-identical to
+    // size(regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]", 0))
+    // (golden-tested) without the alternation regex per row. Requires
+    // [[graft.functions.GraftFunctions.register]].
+    graft.functions.GraftFunctions.qualityCounts(text).getField("bpeish")
 
   /** Learn a BPE merges table from the corpus itself (no external vocab
     * ships in this sandbox): distributed word count (map-side combine
@@ -186,6 +190,18 @@ object TextOps {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(toks, lit(words.toArray)))
 
+  /** The 32 ASCII characters of Java's `\p{Punct}` POSIX class. */
+  private[graft] val AsciiPunct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  /** Number of characters of `text` belonging to `chars` — identical to
+    * `size(regexp_extract_all(text, "[<chars>]", 0))` for a class of
+    * single BMP characters, computed as the length drop under
+    * `translate(text, chars, "")` (one table-lookup pass, no regex
+    * engine).
+    */
+  private[graft] def charClassCount(text: Column, chars: String): Column =
+    length(text) - length(translate(text, chars, ""))
+
   /** Heuristic language ID over a small stopword inventory, plus a `code`
     * class for symbol-dense text. Returns a lowercase label
     * (en/de/fr/es/code/unknown). Declarative: per-language stopword-hit
@@ -210,16 +226,18 @@ object TextOps {
     * pre-training corpus filters (C4/Gopher-style heuristics).
     */
   def qualityFeatures(text: Column): Column = {
+    // ONE fused scan ([[graft.functions.QualityCounts]]) replaces the six
+    // composed passes (two \s+ splits, three class regexes, one
+    // array_intersect); every count is value-identical by construction
+    // (kernel doc + goldens), so the double ratios below are bit-identical
+    // too. Requires [[graft.functions.GraftFunctions.register]].
+    val qc = graft.functions.GraftFunctions.qualityCounts(text)
     val nChars = length(text).cast("double")
-    val toks = tokens(text)
-    val nToks = size(toks).cast("double")
-    val punct =
-      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
-    val digits =
-      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
-    val uppers =
-      size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
-    val stop = stopHits(tokens(lower(text)), enStop).cast("double")
+    val nToks = qc.getField("n_toks").cast("double")
+    val punct = qc.getField("punct").cast("double")
+    val digits = qc.getField("digits").cast("double")
+    val uppers = qc.getField("uppers").cast("double")
+    val stop = qc.getField("stop").cast("double")
     val safeChars = greatest(nChars, lit(1.0))
     val safeToks = greatest(nToks, lit(1.0))
     struct(
