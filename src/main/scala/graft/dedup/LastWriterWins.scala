@@ -49,7 +49,19 @@ object LastWriterWins {
     * Phase 1 groups by (key, salt) with `max_by(struct(all), ts)` — partial
     * aggregation combines map-side, so the shuffle carries at most
     * S rows per key regardless of input skew. Phase 2 reduces the S
-    * survivors. Both phases are hash aggregations (no sort, no window).
+    * survivors.
+    *
+    * Plan-shape note (r7 audit): `max_by` carries a struct-typed
+    * aggregation buffer, which HashAggregateExec cannot hold (it requires
+    * mutable primitive buffer fields), so BOTH phases physically plan as
+    * SortAggregate — each partial pays a per-partition sort by its grouping
+    * key, much like the window variant's sort. ObjectHashAggregate is no
+    * escape either: it only serves TypedImperativeAggregates and falls back
+    * to sort-based at 128 distinct keys by default. The salted shape's
+    * value is therefore skew immunity (bounded rows per reducer key), NOT a
+    * sort-free plan; rewrites that would dodge the sort (argmax-via-join,
+    * packed orderings) cost extra shuffles or only work for special key
+    * types, and were measured/rejected in the r7 optimization pass.
     */
   def dedupSalted(
       df: DataFrame,

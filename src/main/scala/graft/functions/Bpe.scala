@@ -149,16 +149,27 @@ object Bpe {
     m
   }
 
-  // per-executor interning of decoded ranks tables, keyed by blob hash —
-  // each task deserializes its own expression instance, but the (possibly
-  // large) table is decoded once per JVM
-  private val ranksCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, Ranks]()
+  /** Interned decoded merges table plus its word-count memo. The memo is
+    * String-keyed and PER ENTRY, so the hot path allocates no tuple key and
+    * two different tables can never serve each other's counts.
+    */
+  final class RanksEntry private[Bpe] (val blob: String, val ranks: Ranks) {
+    private[Bpe] val counts =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  }
 
-  private def internedRanks(blob: String): Ranks =
+  // per-JVM interning of decoded ranks tables, keyed by the FULL blob
+  // string (content equality — a bare blob.hashCode key could silently
+  // serve the wrong table on an Int collision). The full-string compare
+  // runs once per intern call, and callers intern once per TASK (lazy
+  // instance state / codegen mutable state), never per row.
+  private val ranksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RanksEntry]()
+
+  def internEntry(blob: String): RanksEntry =
     ranksCache.computeIfAbsent(
-      Integer.valueOf(blob.hashCode),
-      _ => ranksOf(decodeMerges(blob))
+      blob,
+      b => new RanksEntry(b, ranksOf(decodeMerges(b)))
     )
 
   /** Greedy lowest-rank-first BPE encode of one pre-tokenized word. */
@@ -209,32 +220,31 @@ object Bpe {
     pretokenize(text).flatMap(encodeWord(_, ranks))
   }
 
-  // word -> token-count memo, shared per executor; keyed by (blob hash,
-  // word). Bounded: cleared wholesale at the cap (simple and allocation
-  // free on the hot path; Zipf refills the head instantly).
-  private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
   private val CountCacheCap = 262144
 
   /** Public (not package-private): generated whole-stage code calls the
     * static forwarder, which scalac only emits for public object members.
+    * The memo lookup is a single String-keyed get on the entry's own map —
+    * no per-word tuple allocation on the hot path (the former
+    * `(blobHash, word)` key boxed a tuple per word per row).
     */
-  def tokenCount(text: String, blob: String): Int = {
-    val ranks = internedRanks(blob)
-    val bh = blob.hashCode
+  def tokenCountWith(text: String, e: RanksEntry): Int = {
     var total = 0
     pretokenize(text).foreach { w =>
-      val key = (bh, w)
-      var c = countCache.get(key)
+      var c = e.counts.get(w)
       if (c == null) {
-        c = Integer.valueOf(encodeWord(w, ranks).size)
-        if (countCache.size() >= CountCacheCap) countCache.clear()
-        countCache.put(key, c)
+        c = Integer.valueOf(encodeWord(w, e.ranks).size)
+        if (e.counts.size() >= CountCacheCap) e.counts.clear()
+        e.counts.put(w, c)
       }
       total += c.intValue()
     }
     total
   }
+
+  /** Convenience form (tests / eval path): intern per call, then count. */
+  def tokenCount(text: String, blob: String): Int =
+    tokenCountWith(text, internEntry(blob))
 }
 
 /** Token count of `child` under the merges table `mergesBlob` (wire form of
@@ -248,14 +258,26 @@ case class BpeCount(child: Expression, mergesBlob: String)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  // interned once per (deserialized) expression instance, i.e. once per
+  // task — the per-row path then touches no interning map at all
+  @transient private lazy val entry: Bpe.RanksEntry = Bpe.internEntry(mergesBlob)
+
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    java.lang.Integer.valueOf(Bpe.tokenCount(s, mergesBlob))
+    java.lang.Integer.valueOf(Bpe.tokenCountWith(s, entry))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val blobRef = ctx.addReferenceObj("mergesBlob", mergesBlob, "java.lang.String")
-    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.tokenCount($c.toString(), $blobRef)")
+    // per-task lazily interned entry (mutable state): the generated per-row
+    // code pays one null check, not a map lookup
+    val entryVar = ctx.addMutableState(
+      "graft.functions.Bpe.RanksEntry",
+      "bpeEntry"
+    )
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($entryVar == null) { $entryVar = graft.functions.Bpe.internEntry($blobRef); }
+         |${ev.value} = graft.functions.Bpe.tokenCountWith($c.toString(), $entryVar);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCount =

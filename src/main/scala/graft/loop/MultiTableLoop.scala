@@ -212,6 +212,7 @@ final class MultiTableLoop(
                 spark, t.spec, window, saltBuckets,
                 dedup = t.spec.config.casColumns.nonEmpty,
                 observedFields = Some(t.stage.observedFields().toSeq))
+              var lostRace = false
               try {
                 val (gated, casCleanup) = ApplyPlanner.casGate(
                   t.table, planned.batch, planned.pkCols, t.spec.config.casColumns)
@@ -224,20 +225,16 @@ final class MultiTableLoop(
                   extraMetrics = Map("merged_through_seq" -> seqNow)
                 )
                 casCleanup()
-                // changelog BEFORE vacuum: segments diff against the previous
-                // version's manifest, which vacuum may retire
-                changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
-                t.stage.retire(target)
-                // bound version growth exactly as ReplayLoop does: at
-                // streaming cadence every fence commits a new version per
-                // table, so the fan path needs the same vacuum or storage
-                // (and the gcHorizon back-walk) grows without bound
-                vacuumKeepVersions.foreach(t.table.vacuum(_))
               } catch {
                 // same optimistic-concurrency loser path as ReplayLoop's
                 // mergeToFence: a competing applier retired this topic's
                 // staged files mid-read AND its commit covers our target —
-                // the commit log would have no-op'd us anyway
+                // the commit log would have no-op'd us anyway. Only the
+                // merge read/apply phase is guarded (see ReplayLoop): on
+                // the winning path the housekeeping below runs OUTSIDE the
+                // guard so its failures propagate instead of masquerading
+                // as this no-op; a lost race skips it (the winner owns that
+                // fence's retire/vacuum).
                 case e: Throwable
                     if ReplayLoop.isMissingFileRead(e) && {
                       val now = t.table.log
@@ -246,10 +243,22 @@ final class MultiTableLoop(
                         .getOrElse(Hlc.Zero)
                       now >= target
                     } =>
+                  lostRace = true
                   println(
                     s"[graft][fan] topic=$topic fence ${target.format} " +
                       "already applied by a concurrent writer; no-op"
                   )
+              }
+              if (!lostRace) {
+                // changelog BEFORE vacuum: segments diff against the
+                // previous version's manifest, which vacuum may retire
+                changelogDir.foreach(d => t.table.emitChangelog(s"$d/$topic"))
+                t.stage.retire(target)
+                // bound version growth exactly as ReplayLoop does: at
+                // streaming cadence every fence commits a new version per
+                // table, so the fan path needs the same vacuum or storage
+                // (and the gcHorizon back-walk) grows without bound
+                vacuumKeepVersions.foreach(t.table.vacuum(_))
               }
             }
           }

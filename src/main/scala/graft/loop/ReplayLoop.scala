@@ -371,6 +371,7 @@ final class ReplayLoop(
         // field set was collected while staging: no summary scan here
         observedFields = Some(stage.observedFields().toSeq))
     }
+    var lostRace = false
     try {
       val (gated, casCleanup) =
         ApplyPlanner.casGate(table, planned.batch, planned.pkCols, spec.config.casColumns)
@@ -388,11 +389,6 @@ final class ReplayLoop(
         )
       }
       casCleanup()
-      // changelog BEFORE vacuum: the new segment diffs against the previous
-      // version's manifest, which vacuum may retire
-      changelogDir.foreach(table.emitChangelog)
-      stage.retire(target)
-      vacuumKeepVersions.foreach(table.vacuum(_))
     } catch {
       // Optimistic-concurrency loser whose CONFLICT surfaced as a failed
       // READ rather than a commit-log no-op: a competing applier (HA
@@ -403,11 +399,29 @@ final class ReplayLoop(
       // same no-op the commit log would have made it — swallow and let the
       // next batch proceed against the new head. Any read failure NOT
       // explained by a covering commit is real data loss and re-raises.
+      //
+      // The catch wraps ONLY the merge read/apply phase: the housekeeping
+      // below used to sit inside it, so an emitChangelog/retire failure
+      // whose message happened to match the missing-file signature was
+      // silently swallowed as "already applied" — permanently skipping
+      // retire and vacuum (unbounded staging growth) with a misleading
+      // log line. On the winning path housekeeping now runs OUTSIDE the
+      // guard (its failures propagate); a lost race still skips it, as
+      // before — the winner owns that fence's retire/vacuum, and a loser
+      // retiring concurrently races the winner's staging bookkeeping.
       case e: Throwable if ReplayLoop.isMissingFileRead(e) && committedFence >= target =>
+        lostRace = true
         println(
           s"[graft][replay] fence ${target.format} already applied by a " +
             "concurrent writer (staged files retired mid-read); no-op"
         )
+    }
+    if (!lostRace) {
+      // changelog BEFORE vacuum: the new segment diffs against the previous
+      // version's manifest, which vacuum may retire
+      changelogDir.foreach(table.emitChangelog)
+      stage.retire(target)
+      vacuumKeepVersions.foreach(table.vacuum(_))
     }
   }
 
@@ -676,10 +690,22 @@ object ReplayLoop {
     while (cur != null && depth < 16) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition != null &&
+              (st.getCondition == "FAILED_READ_FILE.FILE_NOT_EXIST" ||
+                st.getCondition == "PATH_NOT_FOUND") =>
+          return true
         case _ =>
+          // specific error-CLASS tokens in the message (wrappers that carry
+          // the class marker without implementing SparkThrowable) — but no
+          // longer the former free-text `contains("does not exist")`, which
+          // also matched analyzer errors ("Table or view does not exist",
+          // unresolved columns) and silently swallowed genuine planner bugs
+          // as concurrency no-ops
           val m = cur.getMessage
           if (m != null &&
-            (m.contains("FILE_NOT_EXIST") || m.contains("does not exist")))
+            (m.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+              m.contains("PATH_NOT_FOUND")))
             return true
       }
       cur = cur.getCause
