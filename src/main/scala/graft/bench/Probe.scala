@@ -69,6 +69,50 @@ object Probe {
     val cands = graft.ops.DedupOps.minhashCandidatePairs(
       d, "text", "doc_id", k, numHashes, bands, 2000, minEst = Some(0.35))
     time("cands+distinct", cands)
+    // cardinalities: how many pairs the HOF pair-gen emits pre-distinct
+    // (sum over buckets of in-bucket ordered est-passing pairs) vs distinct
+    val preDistinct = buckets
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("xs"),
+              x =>
+                filter(
+                  transform(
+                    filter(col("xs"), y => x.getField("id") < y.getField("id")),
+                    y =>
+                      struct(
+                        x.getField("id").as("id_a"),
+                        y.getField("id").as("id_b"),
+                        (graft.functions.GraftFunctions
+                          .sigAgree(x.getField("sig"), y.getField("sig"))
+                          .cast("double") / numHashes).as("est_jaccard")
+                      )
+                  ),
+                  p => p.getField("est_jaccard") >= 0.35
+                )
+            )
+          )
+        ).as("p")
+      )
+    val allOrdered = buckets.select(
+      explode(
+        flatten(
+          transform(
+            col("xs"),
+            x =>
+              transform(
+                filter(col("xs"), y => x.getField("id") < y.getField("id")),
+                y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"))
+              )
+          )
+        )
+      ).as("p")
+    )
+    println(s"[probe] in-bucket ordered pairs (pre-est): ${allOrdered.count()}")
+    println(s"[probe] est-passing pairs (pre-distinct): ${preDistinct.count()}")
+    println(s"[probe] distinct candidates: ${cands.count()}")
     val sh = d.select(
       col("doc_id").as("id"),
       graft.functions.GraftFunctions.shingleHashes(col("text"), k).as("sh"))
