@@ -152,20 +152,27 @@ object IncrementalDedup {
             max(col("est_jaccard")).as("est_jaccard")
           )
       case Some(corpus) =>
-        val both = corpus
+        val cands = corpusCands
+          .select(col("old_id").as("id_a"), col("id").as("id_b"))
+          .distinct()
+        // fetch + shingle ONLY the corpus docs that appear as candidates
+        // (semi-join on the candidate old_id set): the verify's cost is
+        // then bounded by the collision count, never a corpus scan —
+        // the documented O(batch + collisions) admission contract (the
+        // former corpus.union(newDocs) re-shingled every accepted doc on
+        // every batch). Pair set and verdicts are unchanged: jaccardVerify
+        // only ever reads ids present in `cands`.
+        val neededCorpus = corpus
           .select(col(idCol), col(textCol))
+          .join(
+            cands.select(col("id_a").as(idCol)).distinct(),
+            Seq(idCol),
+            "left_semi"
+          )
+        val both = neededCorpus
           .unionByName(newDocs.select(col(idCol), col(textCol)))
         DedupOps
-          .jaccardVerify(
-            corpusCands
-              .select(col("old_id").as("id_a"), col("id").as("id_b"))
-              .distinct(),
-            both,
-            textCol,
-            idCol,
-            k,
-            threshold
-          )
+          .jaccardVerify(cands, both, textCol, idCol, k, threshold)
           .groupBy(col("id_b").as("id"))
           .agg(
             max_by(col("id_a"), col("jaccard")).as("dup_of"),

@@ -424,11 +424,18 @@ final class SnapshotTable(
         if (name.startsWith("v")) name.drop(1).takeWhile(_.isDigit) else ""
       val orphanReapable =
         vDigits.nonEmpty && vDigits.toLong <= latestVersion &&
-          (try
-            java.nio.file.Files
-              .getLastModifiedTime(d)
-              .toMillis < nowMs - orphanGraceMillis
-          catch { case _: java.io.IOException => false })
+          (try {
+            // staleness from the NEWEST mtime anywhere in the subtree, and
+            // never while a live _temporary tree exists: task writes deep
+            // inside _temporary do not refresh the top-level dir's mtime,
+            // so judging by the latter could reap a slow in-flight merge
+            // whose write outlasts the grace period (spurious job failure
+            // — no corruption, but exactly what "never clobber" promises
+            // not to do). The walk is bounded: an orphan dir holds one
+            // merge attempt's files.
+            !java.nio.file.Files.exists(d.resolve("_temporary")) &&
+            SnapshotTable.newestMtimeMillis(d) < nowMs - orphanGraceMillis
+          } catch { case _: java.io.IOException => false })
       if (
         !referenced.contains(rel) &&
         (everReferenced.contains(rel) || orphanReapable)
@@ -904,6 +911,16 @@ object SnapshotTable {
   /** Eager, stream-closing directory listing (shared impl: [[graft.util.Dirs]]). */
   private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     graft.util.Dirs.listDir(p)
+
+  /** Newest last-modified time (millis) of any entry under `p`, `p`
+    * itself included — the liveness signal vacuum's orphan reaping uses
+    * (a write refreshes mtimes deep in the tree, not the top-level dir).
+    */
+  private[graft] def newestMtimeMillis(p: java.nio.file.Path): Long = {
+    val own = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    if (!java.nio.file.Files.isDirectory(p)) own
+    else listDir(p).foldLeft(own)((mx, c) => math.max(mx, newestMtimeMillis(c)))
+  }
 
   /** A concurrent writer with a DIFFERENT idempotence key published the
     * version this attempt targeted; merge() re-runs the attempt against
