@@ -200,6 +200,56 @@ class ApplyPlannerSpec extends SparkSpec {
     assert(got == Set(("r1", "a", 7), ("r1", "c", 1), ("r1", "b", 0)))
   }
 
+  test("CAS audit: one-pass counts equal the casFilter-derived accounting") {
+    val current = Seq(("r1", "a", 5, false), ("r1", "b", 9, false))
+      .toDF("repo", "path", "ver", SnapshotTable.DELETED)
+    val batch = Seq(
+      ("r1", "a", 7, false), // accepted (7 > 5)
+      ("r1", "a", 3, false), // rejected (3 < 5)
+      ("r1", "b", 9, false), // rejected (ties lose)
+      ("r1", "c", 1, false), // accepted (no current row)
+      ("r1", "b", 0, true) // accepted (delete bypasses CAS)
+    ).toDF("repo", "path", "ver", SnapshotTable.DELETED)
+    val audit = ApplyPlanner
+      .casAudit(batch, current, Seq("repo", "path"), Seq("ver"))
+      .select("repo", "path", "n_proposed", "n_accepted")
+      .as[(String, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(
+      audit == Set(
+        ("r1", "a", 2L, 1L), // 7 accepted, 3 rejected
+        ("r1", "b", 2L, 1L), // tie rejected, delete accepted
+        ("r1", "c", 1L, 1L) // no current row
+      )
+    )
+    // the audit must be EXACTLY the accounting the two-pass
+    // casFilter-based formulation produces (the shape it replaced)
+    import org.apache.spark.sql.functions._
+    val accepted =
+      ApplyPlanner.casFilter(batch, current, Seq("repo", "path"), Seq("ver"))
+    val twoPass = batch
+      .groupBy("repo", "path")
+      .agg(count(lit(1)).as("n_proposed"))
+      .join(
+        accepted
+          .groupBy("repo", "path")
+          .agg(count(lit(1)).as("n_accepted")),
+        Seq("repo", "path"),
+        "left"
+      )
+      .select(
+        col("repo"),
+        col("path"),
+        col("n_proposed"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted")
+      )
+      .as[(String, String, Long, Long)]
+      .collect()
+      .toSet
+    assert(audit == twoPass)
+  }
+
   test("PK-less spec synthesizes a rowid primary key (coldata.go:147-182)") {
     val schema2 = StructType(Seq(StructField("v", StringType)))
     val spec = TableSpec(schema2, Nil, TableConfig(), allowEvolution = false)

@@ -40,6 +40,61 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
   }
 
+  test("grouped in-bucket pair generation equals the band self-join shape") {
+    // the r7 restructure replaced the candidate self-join on (band, bucket)
+    // with a groupBy + in-bucket pair generation; this pins the two shapes
+    // equal on a real corpus (both SFs), est-prefiltered and not
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("0.001", "0.01")) {
+      val d = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val numHashes = 32; val bands = 8; val rows = numHashes / bands
+      val banded = d
+        .select(
+          $"doc_id".as("id"),
+          DedupOps.minhashSignature($"text", 5, numHashes).as("sig")
+        )
+        .select(
+          $"id",
+          $"sig",
+          explode(
+            array((0 until bands).map { b =>
+              struct(
+                lit(b).as("band"),
+                xxhash64(slice($"sig", b * rows + 1, rows)).as("bucket")
+              )
+            }: _*)
+          ).as("bb")
+        )
+        .select($"id", $"sig", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      // reference: the pre-r7 self-join shape, written out here
+      val l = banded.select($"band", $"bucket", $"id".as("id_a"), $"sig".as("sig_a"))
+      val r = banded.select($"band", $"bucket", $"id".as("id_b"), $"sig".as("sig_b"))
+      val joinRef = l
+        .join(r, Seq("band", "bucket"))
+        .filter($"id_a" < $"id_b")
+        .withColumn(
+          "est_jaccard",
+          graft.functions.GraftFunctions
+            .sigAgree($"sig_a", $"sig_b")
+            .cast("double") / numHashes
+        )
+        .filter($"est_jaccard" >= 0.35)
+        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
+        .as[(Long, Long, Double)]
+        .collect()
+        .toSet
+      val grouped = DedupOps
+        .minhashCandidatePairs(
+          d, "text", "doc_id", k = 5, numHashes = numHashes, bands = bands,
+          minEst = Some(0.35))
+        .as[(Long, Long, Double)]
+        .collect()
+        .toSet
+      assert(grouped == joinRef, s"candidate-pair shapes diverge at sf$sf")
+    }
+  }
+
   test("GraftExtensions injects the function set without error") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(e) // must not throw
